@@ -1,0 +1,258 @@
+"""Functional capture of per-layer K-FAC statistics (a, g) — no hooks.
+
+The reference attaches PyTorch module hooks to save the layer input ``a``
+(forward_pre_hook) and the output cotangent ``g`` (full_backward_hook)
+(/root/reference/kfac/kfac_preconditioner_base.py:122-149). JAX has no
+mutation or hooks; instead this module provides *taggable flax layers* and a
+pure capture transform:
+
+  * ``a`` is recorded with ``Module.sow`` into the ``'kfac_a'`` collection —
+    a functional output of ``apply`` (mutable collection), traced and
+    jit-compatible.
+  * ``g`` is obtained by the zero-perturbation trick: each tagged layer adds
+    a caller-supplied zero array ``p`` to its pre-activation output
+    (``y + p``). The gradient of the loss w.r.t. ``p`` is exactly dL/dy — the
+    same tensor PyTorch's full_backward_hook delivers. Differentiating the
+    loss w.r.t. ``(params, perturbations)`` therefore yields both the
+    parameter gradients and every layer's ``g`` in one backward pass, fully
+    compatible with jit / pjit / remat / scan.
+
+Static layer metadata (kind, dims, conv geometry, flax paths) is collected
+during a single abstract trace (``jax.eval_shape``) via a thread-local sink —
+the functional analogue of the reference's ``_register_module_hooks`` walk.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+from flax.core import FrozenDict
+
+from kfac_pytorch_tpu.ops.factors import resolve_conv_padding
+
+# Collection names.
+COL_A = "kfac_a"  # sown layer inputs
+COL_G = "kfac_perturb"  # zero perturbations added to layer outputs
+
+DENSE = "dense"
+CONV = "conv"
+
+
+@dataclass(frozen=True)
+class LayerSpec:
+    """Static description of one K-FAC-registered layer.
+
+    ``path`` is the flax scope path of the tagging module (also the key into
+    the captured a/g trees); ``param_path`` locates the inner kernel/bias in
+    the params pytree.
+    """
+
+    path: Tuple[str, ...]
+    kind: str  # DENSE | CONV
+    in_dim: int  # dense: features_in; conv: cin*kh*kw
+    out_dim: int  # dense: features_out; conv: cout
+    has_bias: bool
+    param_path: Tuple[str, ...] = ()
+    kernel_size: Tuple[int, int] = (0, 0)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Tuple[Tuple[int, int], Tuple[int, int]] = ((0, 0), (0, 0))
+
+    @property
+    def name(self) -> str:
+        return "/".join(self.path)
+
+    @property
+    def grad_in_dim(self) -> int:
+        """Width of the canonical 2-D gradient (bias appended as a column)."""
+        return self.in_dim + (1 if self.has_bias else 0)
+
+
+class _SpecSink(threading.local):
+    def __init__(self):
+        self.active: Optional[list] = None
+
+
+_SINK = _SpecSink()
+
+
+def _record_spec(spec: LayerSpec) -> None:
+    if _SINK.active is not None:
+        _SINK.active.append(spec)
+
+
+def _overwrite(prev, new):
+    return new
+
+
+def _tap(module: nn.Module, x: jax.Array, y: jax.Array, spec: LayerSpec):
+    """Record input `a`; add the output perturbation for `g` capture."""
+    _record_spec(spec)
+    module.sow(COL_A, "a", x, reduce_fn=_overwrite, init_fn=lambda: None)
+    if module.has_variable(COL_G, "p"):
+        y = y + module.get_variable(COL_G, "p")
+    else:
+        # Shape-discovery pass: record a zero of the output shape so callers
+        # can build the perturbation pytree via eval_shape.
+        module.sow(
+            COL_G,
+            "p",
+            jnp.zeros(y.shape, y.dtype),
+            reduce_fn=_overwrite,
+            init_fn=lambda: None,
+        )
+    return y
+
+
+class KFACDense(nn.Module):
+    """Dense layer registered for K-FAC preconditioning.
+
+    Equivalent to the reference registering an ``nn.Linear`` module
+    (kfac_preconditioner_base.py:132-147). ``exclude=True`` opts the layer
+    out (the reference's ``exclude_vocabulary_size`` mechanism,
+    base.py:139-140, is applied at this level by the model builder).
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros_init()
+    exclude: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        dense = nn.Dense(
+            self.features,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=self.kernel_init,
+            bias_init=self.bias_init,
+            name="layer",
+        )
+        y = dense(x)
+        if self.exclude:
+            return y
+        spec = LayerSpec(
+            path=self.path,
+            kind=DENSE,
+            in_dim=x.shape[-1],
+            out_dim=self.features,
+            has_bias=self.use_bias,
+            param_path=self.path + ("layer",),
+        )
+        return _tap(self, x, y, spec)
+
+
+class KFACConv(nn.Module):
+    """2-D convolution registered for K-FAC preconditioning (NHWC)."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = "SAME"
+    use_bias: bool = True
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros_init()
+    exclude: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        pad = resolve_conv_padding(
+            self.padding, (x.shape[1], x.shape[2]), self.kernel_size, self.strides
+        )
+        conv = nn.Conv(
+            self.features,
+            self.kernel_size,
+            strides=self.strides,
+            padding=pad,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=self.kernel_init,
+            bias_init=self.bias_init,
+            name="layer",
+        )
+        y = conv(x)
+        if self.exclude:
+            return y
+        kh, kw = self.kernel_size
+        spec = LayerSpec(
+            path=self.path,
+            kind=CONV,
+            in_dim=x.shape[-1] * kh * kw,
+            out_dim=self.features,
+            has_bias=self.use_bias,
+            param_path=self.path + ("layer",),
+            kernel_size=(kh, kw),
+            strides=tuple(self.strides),
+            padding=pad,
+        )
+        return _tap(self, x, y, spec)
+
+
+def collect_layer_specs(
+    apply_fn: Callable, *args, **kwargs
+) -> Tuple[LayerSpec, ...]:
+    """Collect LayerSpecs from one abstract trace of ``apply_fn``.
+
+    ``apply_fn`` should invoke the model (e.g. ``lambda: model.apply(vars, x,
+    mutable=[COL_A, COL_G])``). Runs under ``jax.eval_shape`` — no FLOPs.
+    """
+    sink: list = []
+    prev = _SINK.active
+    _SINK.active = sink
+    try:
+        jax.eval_shape(lambda: apply_fn(*args, **kwargs))
+    finally:
+        _SINK.active = prev
+    # Deduplicate while preserving call order (shared modules tap once).
+    seen = set()
+    out = []
+    for s in sink:
+        if s.path not in seen:
+            seen.add(s.path)
+            out.append(s)
+    return tuple(out)
+
+
+def make_zero_perturbations(model: nn.Module, variables, *args, **kwargs):
+    """Build the zero perturbation pytree for a given batch shape.
+
+    Uses an abstract trace with the COL_G collection mutable, so each tagged
+    layer sows a zero of its output shape; returns concrete zeros.
+    """
+    shapes = jax.eval_shape(
+        lambda v: model.apply(
+            v, *args, mutable=[COL_A, COL_G], **kwargs
+        )[1][COL_G],
+        variables,
+    )
+    return jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), shapes
+    )
+
+
+def _get_path(tree, path: Tuple[str, ...]):
+    node = tree
+    for k in path:
+        node = node[k]
+    return node
+
+
+def captured_a(mutated_collections, spec: LayerSpec) -> jax.Array:
+    """Fetch the sown activation for ``spec`` from apply()'s mutated vars."""
+    return _get_path(mutated_collections[COL_A], spec.path)["a"]
+
+
+def captured_g(perturb_grads, spec: LayerSpec) -> jax.Array:
+    """Fetch dL/dy for ``spec`` from the perturbation gradient pytree."""
+    return _get_path(perturb_grads, spec.path)["p"]

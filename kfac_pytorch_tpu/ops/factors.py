@@ -1,0 +1,230 @@
+"""Kronecker-factor statistics ops (TPU-native, pure JAX).
+
+These implement the covariance ("Kronecker factor") statistics of K-FAC:
+
+  A = E[a a^T]   over the layer *inputs* (activations), with an appended
+                 ones column when the layer has a bias, and
+  G = E[g g^T]   over the cotangents of the layer *pre-activation outputs*.
+
+Behavioral parity with the reference implementation
+(/root/reference/kfac/utils.py:33-140 — ComputeA, ComputeG, _extract_patches,
+update_running_avg), re-designed for TPU:
+
+  * NHWC layout everywhere (TPU-native) instead of the reference's NCHW.
+  * Patch extraction is expressed as a static stack of strided slices which
+    XLA fuses into the covariance GEMM; the GEMM itself runs on the MXU with
+    fp32 accumulation (``preferred_element_type``).
+  * Patch feature ordering is (kh, kw, cin) flattened — consistent with the
+    flax/JAX conv kernel layout (kh, kw, cin, cout) reshaped to 2-D, so the
+    preconditioned gradient is exactly equivalent to the reference's
+    (cin, kh, kw)-ordered math up to the fixed permutation.
+
+Reference numerics preserved exactly (for matched orderings):
+  * conv A: rows are patches divided by ``spatial_size`` *after* the bias ones
+    column is appended (so the ones column is scaled too), then ``v^T (v/B)``
+    with B the batch size (reference utils.py:86-94).
+  * conv G: rows scaled by ``batch_size`` (undo loss batch-mean) and by
+    ``spatial_size``, then ``g^T g / n_rows`` (reference utils.py:119-129).
+  * linear with sequence dims: mean over the middle (token) axes before the
+    covariance (reference utils.py:98-99,133-134 — ``Linear_Average=True``).
+  * EMA: ``cur = alpha*new + (1-alpha)*cur`` (reference utils.py:66-71).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+PadPairs = Tuple[Tuple[int, int], Tuple[int, int]]
+
+
+def resolve_conv_padding(
+    padding,
+    in_shape: Tuple[int, int],
+    kernel_size: Tuple[int, int],
+    strides: Tuple[int, int],
+) -> PadPairs:
+    """Resolve a conv padding spec into explicit ((ph0,ph1),(pw0,pw1)) pairs.
+
+    Accepts 'SAME', 'VALID', an int, a pair of ints, or explicit pairs.
+    """
+    if isinstance(padding, str):
+        p = padding.upper()
+        if p == "VALID":
+            return ((0, 0), (0, 0))
+        if p == "SAME":
+            pads = []
+            for dim, k, s in zip(in_shape, kernel_size, strides):
+                out = -(-dim // s)  # ceil
+                total = max((out - 1) * s + k - dim, 0)
+                pads.append((total // 2, total - total // 2))
+            return (pads[0], pads[1])
+        raise ValueError(f"unsupported padding: {padding}")
+    if isinstance(padding, int):
+        return ((padding, padding), (padding, padding))
+    pads = []
+    for p in padding:
+        if isinstance(p, int):
+            pads.append((p, p))
+        else:
+            pads.append((int(p[0]), int(p[1])))
+    return (pads[0], pads[1])
+
+
+def extract_patches(
+    x: jax.Array,
+    kernel_size: Tuple[int, int],
+    strides: Tuple[int, int],
+    padding: PadPairs,
+) -> jax.Array:
+    """im2col for NHWC inputs.
+
+    Args:
+      x: (B, H, W, C) activations.
+      kernel_size: (kh, kw).
+      strides: (sh, sw).
+      padding: explicit ((ph0, ph1), (pw0, pw1)).
+
+    Returns:
+      (B, OH, OW, kh*kw*C) patches, feature ordering (kh, kw, c) — matching a
+      flax conv kernel (kh, kw, cin, cout) reshaped to (kh*kw*cin, cout).
+
+    TPU note: this is a static unrolled stack of strided slices, which XLA
+    fuses with the downstream covariance matmul; no gather, no dynamic shapes.
+    (Reference equivalent: /root/reference/kfac/utils.py:33-54.)
+    """
+    kh, kw = kernel_size
+    sh, sw = strides
+    (ph0, ph1), (pw0, pw1) = padding
+    if ph0 or ph1 or pw0 or pw1:
+        x = jnp.pad(x, ((0, 0), (ph0, ph1), (pw0, pw1), (0, 0)))
+    b, hh, ww, c = x.shape
+    oh = (hh - kh) // sh + 1
+    ow = (ww - kw) // sw + 1
+    slices = []
+    for i in range(kh):
+        for j in range(kw):
+            s = jax.lax.slice(
+                x,
+                (0, i, j, 0),
+                (b, i + (oh - 1) * sh + 1, j + (ow - 1) * sw + 1, c),
+                (1, sh, sw, 1),
+            )
+            slices.append(s)
+    p = jnp.stack(slices, axis=3)  # (B, OH, OW, kh*kw, C)
+    return p.reshape(b, oh, ow, kh * kw * c)
+
+
+def _cov(v: jax.Array, denom, dtype, precision) -> jax.Array:
+    """v^T (v/denom) with fp32 MXU accumulation."""
+    v = v.astype(dtype)
+    return jax.lax.dot_general(
+        v,
+        v / denom,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def compute_a_dense(
+    a: jax.Array,
+    has_bias: bool,
+    *,
+    dtype=jnp.float32,
+    precision=None,
+) -> jax.Array:
+    """A factor for a dense layer.
+
+    a: (B, D) or (B, T..., D); token axes are mean-reduced first
+    (reference utils.py:96-103).
+    Returns (D[+1], D[+1]) fp32.
+    """
+    if a.ndim > 2:
+        a = jnp.mean(a, axis=tuple(range(1, a.ndim - 1)))
+    batch_size = a.shape[0]
+    a = a.astype(dtype)
+    if has_bias:
+        ones = jnp.ones((a.shape[0], 1), dtype=a.dtype)
+        a = jnp.concatenate([a, ones], axis=1)
+    return _cov(a, batch_size, dtype, precision)
+
+
+def compute_a_conv(
+    a: jax.Array,
+    kernel_size: Tuple[int, int],
+    strides: Tuple[int, int],
+    padding: PadPairs,
+    has_bias: bool,
+    *,
+    dtype=jnp.float32,
+    precision=None,
+) -> jax.Array:
+    """A factor for a conv layer. a: (B, H, W, C) NHWC.
+
+    Returns (kh*kw*C[+1], kh*kw*C[+1]) fp32.
+    Parity: reference utils.py:85-94 (note the bias ones column is appended
+    *before* the spatial_size division, so it is scaled too).
+    """
+    batch_size = a.shape[0]
+    p = extract_patches(a, kernel_size, strides, padding)
+    spatial_size = p.shape[1] * p.shape[2]
+    v = p.reshape(-1, p.shape[-1]).astype(dtype)
+    if has_bias:
+        ones = jnp.ones((v.shape[0], 1), dtype=v.dtype)
+        v = jnp.concatenate([v, ones], axis=1)
+    v = v / spatial_size
+    return _cov(v, batch_size, dtype, precision)
+
+
+def compute_g_dense(
+    g: jax.Array,
+    batch_averaged: bool = True,
+    *,
+    dtype=jnp.float32,
+    precision=None,
+) -> jax.Array:
+    """G factor for a dense layer.
+
+    g: (B, D) or (B, T..., D) cotangent of the layer output; token axes
+    mean-reduced first. ``batch_averaged=True`` assumes the loss was a
+    batch mean (reference utils.py:131-140).
+    Returns (D, D) fp32.
+    """
+    if g.ndim > 2:
+        g = jnp.mean(g, axis=tuple(range(1, g.ndim - 1)))
+    batch_size = g.shape[0]
+    g = g.astype(dtype)
+    if batch_averaged:
+        g = g * batch_size
+    return _cov(g, batch_size, dtype, precision)
+
+
+def compute_g_conv(
+    g: jax.Array,
+    batch_averaged: bool = True,
+    *,
+    dtype=jnp.float32,
+    precision=None,
+) -> jax.Array:
+    """G factor for a conv layer. g: (B, OH, OW, C) NHWC output cotangent.
+
+    Parity: reference utils.py:118-129 (rows scaled by batch size to undo the
+    loss batch-mean and by spatial_size; covariance normalized by n_rows).
+    Returns (C, C) fp32.
+    """
+    batch_size = g.shape[0]
+    spatial_size = g.shape[1] * g.shape[2]
+    v = g.reshape(-1, g.shape[-1]).astype(dtype)
+    if batch_averaged:
+        v = v * batch_size
+    v = v * spatial_size
+    return _cov(v, v.shape[0], dtype, precision)
+
+
+def ema_update(new: jax.Array, cur: jax.Array, alpha) -> jax.Array:
+    """Running average: alpha*new + (1-alpha)*cur (reference utils.py:66-71)."""
+    return alpha * new + (1.0 - alpha) * cur
