@@ -1,0 +1,185 @@
+"""Training-step assembly: capture + K-FAC preconditioning + first-order update.
+
+Functional equivalent of the reference train loops
+(/root/reference/examples/pytorch_cifar10_resnet.py:226-344): SGD (optax)
+wrapped with gradient data-parallelism, K-FAC preconditioning between the
+gradient computation and the optimizer update, and the SGD/Adam control arm
+(``kfac_update_freq=0`` disables K-FAC entirely, reference README.md:80).
+
+The whole step — forward, backward (capturing a/g), factor update,
+eigendecomposition, preconditioning, kl-clip, SGD — is one traced program;
+under pjit with a sharded batch the gradient mean over devices is inserted
+automatically by GSPMD (the Horovod allreduce equivalent).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from kfac_pytorch_tpu import capture
+from kfac_pytorch_tpu.capture import COL_A, COL_G
+from kfac_pytorch_tpu.preconditioner import KFAC
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    kfac_state: Any  # None when K-FAC disabled
+
+
+@struct.dataclass
+class KFACScalars:
+    """Dynamic hyper-parameters fed into the traced step (no recompiles)."""
+
+    lr: jax.Array
+    damping: jax.Array
+    fac_update_freq: jax.Array
+    kfac_update_freq: jax.Array
+
+    @classmethod
+    def create(cls, lr, damping=0.003, fac_update_freq=1, kfac_update_freq=1):
+        return cls(
+            lr=jnp.asarray(lr, jnp.float32),
+            damping=jnp.asarray(damping, jnp.float32),
+            fac_update_freq=jnp.asarray(fac_update_freq, jnp.int32),
+            kfac_update_freq=jnp.asarray(kfac_update_freq, jnp.int32),
+        )
+
+
+def softmax_cross_entropy(
+    logits: jax.Array, labels: jax.Array, label_smoothing: float = 0.0
+) -> jax.Array:
+    """Batch-mean CE with optional label smoothing (reference
+    examples/utils.py:20-32 LabelSmoothLoss)."""
+    num_classes = logits.shape[-1]
+    one_hot = jax.nn.one_hot(labels, num_classes, dtype=logits.dtype)
+    if label_smoothing > 0.0:
+        one_hot = (
+            one_hot * (1.0 - label_smoothing) + label_smoothing / num_classes
+        )
+    logp = jax.nn.log_softmax(logits)
+    return -jnp.mean(jnp.sum(one_hot * logp, axis=-1))
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    kfac: Optional[KFAC] = None,
+    *,
+    loss_fn: Optional[Callable] = None,
+    label_smoothing: float = 0.0,
+    perturb_template=None,
+    train_kwargs: Optional[Dict[str, Any]] = None,
+):
+    """Build a jittable train_step.
+
+    Args:
+      model: a flax module whose K-FAC layers are KFACDense/KFACConv.
+      tx: the first-order optimizer (e.g. optax SGD+momentum+wd chain).
+      kfac: the preconditioner, or None for the pure-SGD control arm.
+      loss_fn: (logits, labels) -> scalar batch-mean loss. Defaults to CE.
+      label_smoothing: used by the default loss.
+      perturb_template: zero-perturbation pytree (shapes fixed per batch
+        size) from capture.make_zero_perturbations; required when kfac is
+        given.
+      train_kwargs: extra kwargs for model.apply (e.g. {'train': True}).
+
+    Returns:
+      train_step(state, batch, scalars) -> (state, metrics)
+    """
+    train_kwargs = dict(train_kwargs or {})
+    if loss_fn is None:
+        loss_fn = lambda logits, labels: softmax_cross_entropy(
+            logits, labels, label_smoothing
+        )
+    if kfac is not None and perturb_template is None:
+        raise ValueError("kfac given but perturb_template missing")
+    perturb_shapes = (
+        jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), perturb_template
+        )
+        if perturb_template is not None
+        else None
+    )
+
+    def _loss_with_capture(params, perturbs, batch):
+        x, y = batch
+        variables = {"params": params}
+        if perturbs is not None:
+            variables[COL_G] = perturbs
+        out = model.apply(
+            variables, x, mutable=[COL_A] if perturbs is not None else False,
+            **train_kwargs,
+        )
+        if perturbs is not None:
+            logits, muts = out
+            acts = muts[COL_A]
+        else:
+            logits, acts = out, None
+        loss = loss_fn(logits, y)
+        return loss, (logits, acts)
+
+    def train_step(state: TrainState, batch, scalars: KFACScalars):
+        if kfac is not None:
+            perturbs = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), perturb_shapes
+            )
+            (loss, (logits, acts)), (grads, gs) = jax.value_and_grad(
+                _loss_with_capture, argnums=(0, 1), has_aux=True
+            )(state.params, perturbs, batch)
+            precond_grads, kfac_state = kfac.step(
+                state.kfac_state,
+                grads,
+                acts,
+                gs,
+                lr=scalars.lr,
+                damping=scalars.damping,
+                fac_update_freq=scalars.fac_update_freq,
+                kfac_update_freq=scalars.kfac_update_freq,
+            )
+        else:
+            (loss, (logits, _)), grads = jax.value_and_grad(
+                lambda p, b: _loss_with_capture(p, None, b), has_aux=True
+            )(state.params, batch)
+            precond_grads, kfac_state = grads, state.kfac_state
+
+        updates, opt_state = tx.update(
+            precond_grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss,
+            "accuracy": jnp.mean(
+                (jnp.argmax(logits, axis=-1) == batch[1]).astype(jnp.float32)
+            ),
+        }
+        return (
+            TrainState(params=params, opt_state=opt_state, kfac_state=kfac_state),
+            metrics,
+        )
+
+    return train_step
+
+
+def make_eval_step(model, *, loss_fn=None, eval_kwargs=None):
+    eval_kwargs = dict(eval_kwargs or {})
+    if loss_fn is None:
+        loss_fn = softmax_cross_entropy
+
+    def eval_step(params, batch):
+        x, y = batch
+        logits = model.apply({"params": params}, x, **eval_kwargs)
+        return {
+            "loss": loss_fn(logits, y),
+            "accuracy": jnp.mean(
+                (jnp.argmax(logits, axis=-1) == y).astype(jnp.float32)
+            ),
+        }
+
+    return eval_step

@@ -1,0 +1,172 @@
+"""Numerical parity vs the reference implementation's factor math.
+
+Imports ComputeA/ComputeG/mat_eig from the read-only reference checkout
+(torch CPU) and checks our TPU-native ops produce the same Kronecker factors
+and the same preconditioned gradients — up to the fixed (kh,kw,c)<->(c,kh,kw)
+feature permutation between flax NHWC and torch NCHW conv layouts.
+
+Skipped automatically when /root/reference or torch is unavailable.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import kfac_pytorch_tpu as ktpu
+from kfac_pytorch_tpu.ops import factors as fops
+from kfac_pytorch_tpu.ops import linalg as lops
+from kfac_pytorch_tpu.ops import precond as pops
+
+REF = "/root/reference"
+torch = pytest.importorskip("torch")
+if not os.path.isfile(os.path.join(REF, "kfac", "utils.py")):
+    pytest.skip("reference checkout unavailable", allow_module_level=True)
+
+# Load the reference math module standalone (its package __init__ pulls in
+# horovod, which isn't installed here).
+import importlib.util  # noqa: E402
+
+_spec = importlib.util.spec_from_file_location(
+    "_ref_kfac_utils", os.path.join(REF, "kfac", "utils.py")
+)
+_ref_utils = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_ref_utils)
+ComputeA, ComputeG = _ref_utils.ComputeA, _ref_utils.ComputeG
+
+
+def _perm(kh, kw, c, has_bias):
+    """perm[i_ours] = i_ref : ours (kh,kw,c) flattened, ref (c,kh,kw)."""
+    p = []
+    for i in range(kh):
+        for j in range(kw):
+            for ch in range(c):
+                p.append(ch * kh * kw + i * kw + j)
+    if has_bias:
+        p.append(kh * kw * c)
+    return np.array(p)
+
+
+def test_dense_factor_parity():
+    rng = np.random.RandomState(0)
+    a = rng.randn(32, 12).astype(np.float32)
+    g = rng.randn(32, 7).astype(np.float32)
+    layer = torch.nn.Linear(12, 7, bias=True)
+
+    ref_A = ComputeA()(torch.from_numpy(a), layer).numpy()
+    ref_G = ComputeG()(torch.from_numpy(g), layer, batch_averaged=True).numpy()
+
+    got_A = np.asarray(fops.compute_a_dense(jnp.asarray(a), has_bias=True))
+    got_G = np.asarray(fops.compute_g_dense(jnp.asarray(g), batch_averaged=True))
+    np.testing.assert_allclose(got_A, ref_A, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got_G, ref_G, rtol=1e-4, atol=1e-5)
+
+
+def test_dense_factor_parity_seq():
+    rng = np.random.RandomState(1)
+    a = rng.randn(8, 11, 12).astype(np.float32)  # (B, T, D)
+    g = rng.randn(8, 11, 7).astype(np.float32)
+    layer = torch.nn.Linear(12, 7, bias=True)
+    ref_A = ComputeA()(torch.from_numpy(a), layer).numpy()
+    ref_G = ComputeG()(torch.from_numpy(g), layer, batch_averaged=True).numpy()
+    got_A = np.asarray(fops.compute_a_dense(jnp.asarray(a), has_bias=True))
+    got_G = np.asarray(fops.compute_g_dense(jnp.asarray(g), batch_averaged=True))
+    np.testing.assert_allclose(got_A, ref_A, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got_G, ref_G, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "cin,cout,hw,ks,st,pad,bias",
+    [
+        (3, 8, 8, 3, 1, 1, True),
+        (4, 6, 9, 3, 2, 1, False),
+        (2, 5, 7, 1, 1, 0, True),
+    ],
+)
+def test_conv_factor_parity(cin, cout, hw, ks, st, pad, bias):
+    rng = np.random.RandomState(2)
+    a_nchw = rng.randn(4, cin, hw, hw).astype(np.float32)
+    layer = torch.nn.Conv2d(cin, cout, ks, stride=st, padding=pad, bias=bias)
+    ref_A = ComputeA()(torch.from_numpy(a_nchw), layer).numpy()
+
+    a_nhwc = jnp.asarray(a_nchw.transpose(0, 2, 3, 1))
+    got_A = np.asarray(
+        fops.compute_a_conv(
+            a_nhwc, (ks, ks), (st, st), ((pad, pad), (pad, pad)), bias
+        )
+    )
+    perm = _perm(ks, ks, cin, bias)
+    np.testing.assert_allclose(
+        got_A, ref_A[np.ix_(perm, perm)], rtol=1e-4, atol=1e-5
+    )
+
+    # G factor: no feature permutation (indexed by out-channels)
+    oh = (hw + 2 * pad - ks) // st + 1
+    g_nchw = rng.randn(4, cout, oh, oh).astype(np.float32)
+    ref_G = ComputeG()(
+        torch.from_numpy(g_nchw), layer, batch_averaged=True
+    ).numpy()
+    got_G = np.asarray(
+        fops.compute_g_conv(
+            jnp.asarray(g_nchw.transpose(0, 2, 3, 1)), batch_averaged=True
+        )
+    )
+    np.testing.assert_allclose(got_G, ref_G, rtol=1e-4, atol=1e-4)
+
+
+def test_eigen_preconditioned_grad_parity_conv():
+    """End-to-end parity: eigen-KFAC preconditioned conv gradient equals the
+    reference pipeline (mat_eig + eigen formula, eigen.py:137-144) computed
+    with torch, mapped through the layout permutation."""
+    rng = np.random.RandomState(3)
+    cin, cout, hw, ks, pad = 3, 6, 6, 3, 1
+    a_nchw = rng.randn(5, cin, hw, hw).astype(np.float32)
+    g_nchw = rng.randn(5, cout, hw, hw).astype(np.float32)
+    wgrad_torch = rng.randn(cout, cin, ks, ks).astype(np.float32)
+    bgrad = rng.randn(cout).astype(np.float32)
+    damping = 0.03
+
+    layer = torch.nn.Conv2d(cin, cout, ks, padding=pad, bias=True)
+    A_t = ComputeA()(torch.from_numpy(a_nchw), layer)
+    G_t = ComputeG()(torch.from_numpy(g_nchw), layer, batch_averaged=True)
+    dA_t, QA_t = torch.linalg.eigh(A_t)
+    dG_t, QG_t = torch.linalg.eigh(G_t)
+    dA_t = dA_t * (dA_t > 1e-10).float()
+    dG_t = dG_t * (dG_t > 1e-10).float()
+    grad_t = torch.cat(
+        [
+            torch.from_numpy(wgrad_torch).reshape(cout, -1),
+            torch.from_numpy(bgrad).reshape(-1, 1),
+        ],
+        1,
+    )
+    v1 = QG_t.t() @ grad_t @ QA_t
+    v2 = v1 / (dG_t.unsqueeze(1) * dA_t.unsqueeze(0) + damping)
+    ref_v = (QG_t @ v2 @ QA_t.t()).numpy()
+
+    # ours: flax layouts
+    spec = ktpu.LayerSpec(
+        path=("c",), kind="conv", in_dim=cin * ks * ks, out_dim=cout,
+        has_bias=True, param_path=("c", "layer"), kernel_size=(ks, ks),
+        strides=(1, 1), padding=((pad, pad), (pad, pad)),
+    )
+    A = fops.compute_a_conv(
+        jnp.asarray(a_nchw.transpose(0, 2, 3, 1)), (ks, ks), (1, 1),
+        ((pad, pad), (pad, pad)), True,
+    )
+    G = fops.compute_g_conv(
+        jnp.asarray(g_nchw.transpose(0, 2, 3, 1)), batch_averaged=True
+    )
+    dA, QA = lops.symeig(A)
+    dG, QG = lops.symeig(G)
+    # torch conv weight (cout,cin,kh,kw) -> flax (kh,kw,cin,cout)
+    kernel_flax = jnp.asarray(wgrad_torch.transpose(2, 3, 1, 0))
+    from kfac_pytorch_tpu.preconditioner import grad_to_2d
+
+    g2d = grad_to_2d(spec, {"kernel": kernel_flax, "bias": jnp.asarray(bgrad)})
+    got_v = np.asarray(pops.precond_eigen(g2d, QA, dA, QG, dG, damping))
+
+    perm = _perm(ks, ks, cin, True)
+    np.testing.assert_allclose(got_v, ref_v[:, perm], rtol=2e-3, atol=2e-4)
