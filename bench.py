@@ -1,0 +1,126 @@
+"""Headline benchmark: K-FAC per-step overhead vs SGD on ResNet-50.
+
+Runs on whatever accelerator JAX_PLATFORMS points at (the driver runs this
+on one real TPU chip). Prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Baseline (BASELINE.md / reference scripts/time_breakdown.py:24-26): on one
+GPU the reference's K-FAC step costs (0.132 + 0.205 + 0.15) / 0.132 = 3.69x
+an SGD step for a ResNet-50-class model with per-step factor+inverse
+updates. value = our kfac_step/sgd_step ratio; vs_baseline = value / 3.69
+(< 1 means less K-FAC overhead than the reference's single-device cost).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _build(model_name, batch, image, num_classes):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    import kfac_pytorch_tpu as ktpu
+    from kfac_pytorch_tpu.models import get_model
+    from kfac_pytorch_tpu.training.loop import (
+        KFACScalars,
+        TrainState,
+        make_train_step,
+    )
+
+    model = get_model(model_name, num_classes=num_classes)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(batch, image, image, 3).astype(np.float32))
+    y = jnp.asarray(rng.randint(0, num_classes, batch))
+    variables = model.init(jax.random.PRNGKey(0), x, train=True)
+    params = variables["params"]
+    model_state = {"batch_stats": variables["batch_stats"]}
+    specs, perturbs = ktpu.setup_kfac(
+        model, {"params": params, **model_state}, x, train=True
+    )
+    tx = optax.sgd(0.1, momentum=0.9)
+
+    def make(kfac):
+        st = TrainState(
+            params=params,
+            opt_state=tx.init(params),
+            kfac_state=kfac.init_state() if kfac else None,
+            model_state=model_state,
+        )
+        fn = jax.jit(
+            make_train_step(
+                model, tx, kfac,
+                perturb_template=perturbs if kfac else None,
+                train_kwargs={"train": True},
+            )
+        )
+        return fn, st
+
+    kfac = ktpu.get_kfac_module("eigen_dp")(specs, damping=0.002)
+    scalars = KFACScalars.create(lr=0.1, damping=0.002)
+    return make(None), make(kfac), (x, y), scalars
+
+
+def _time_step(fn, state, batch, scalars, warmup=3, iters=10):
+    import jax
+
+    for _ in range(warmup):
+        state, m = fn(state, batch, scalars)
+    jax.block_until_ready(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = fn(state, batch, scalars)
+    jax.block_until_ready(m["loss"])
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    configs = [
+        ("imagenet-resnet50", 32, 224, 1000),
+        ("imagenet-resnet50", 16, 128, 1000),  # fallback: smaller memory
+        ("resnet110", 128, 32, 10),            # fallback: CIFAR class
+    ]
+    last_err = None
+    for model_name, batch, image, classes in configs:
+        try:
+            (sgd_fn, sgd_st), (kfac_fn, kfac_st), data, scalars = _build(
+                model_name, batch, image, classes
+            )
+            t_sgd = _time_step(sgd_fn, sgd_st, data, scalars)
+            t_kfac = _time_step(kfac_fn, kfac_st, data, scalars)
+            ratio = t_kfac / t_sgd
+            print(
+                json.dumps(
+                    {
+                        "metric": f"kfac_step_overhead_vs_sgd_{model_name}"
+                        f"_bs{batch}_im{image}",
+                        "value": round(ratio, 4),
+                        "unit": "x (kfac_step_time / sgd_step_time; "
+                        f"sgd={t_sgd:.4f}s kfac={t_kfac:.4f}s)",
+                        "vs_baseline": round(ratio / 3.69, 4),
+                    }
+                )
+            )
+            return 0
+        except Exception as e:  # OOM / compile failure: try smaller config
+            last_err = e
+            print(f"# bench config {model_name} bs{batch} failed: {e}",
+                  file=sys.stderr)
+    print(json.dumps({
+        "metric": "bench_failed",
+        "value": 0,
+        "unit": "",
+        "vs_baseline": 0,
+        "error": str(last_err)[:200],
+    }))
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

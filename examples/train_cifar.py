@@ -1,0 +1,225 @@
+"""CIFAR-10/100 K-FAC training harness (TPU-native).
+
+Equivalent of /root/reference/examples/pytorch_cifar10_resnet.py: model zoo
+selection, SGD + K-FAC assembly, warmup+multistep lr, per-stage SPEED
+timers, and the SGD control arm via --kfac-update-freq 0.
+
+Data: real CIFAR from an .npz (keys: x_train,y_train,x_test,y_test) via
+--data-path, or --synthetic random data (default — this environment has no
+dataset downloads).
+
+Examples:
+  python examples/train_cifar.py --model resnet32 --synthetic --iters 30
+  python examples/train_cifar.py --model resnet110 --epochs 100 \
+      --kfac-name eigen_dp --damping 0.03 --data-path cifar10.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+import kfac_pytorch_tpu as ktpu
+from kfac_pytorch_tpu.models import get_model
+from kfac_pytorch_tpu.preconditioner import KFACConfig, KFACHypers, KFACParamScheduler
+from kfac_pytorch_tpu.training.loop import (
+    KFACScalars,
+    TrainState,
+    make_eval_step,
+    make_train_step,
+)
+from kfac_pytorch_tpu.utils import lr_schedules
+from kfac_pytorch_tpu.utils.metrics import Metric, StageTimers
+
+log = logging.getLogger("train_cifar")
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", default="resnet32")
+    p.add_argument("--num-classes", type=int, default=10)
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--base-lr", type=float, default=0.1)
+    p.add_argument("--lr-decay", type=float, nargs="+", default=[35, 75, 90])
+    p.add_argument("--warmup-epochs", type=int, default=5)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--wd", type=float, default=5e-4)
+    p.add_argument("--label-smoothing", type=float, default=0.0)
+    # K-FAC flags (reference pytorch_cifar10_resnet.py:62-87)
+    p.add_argument("--kfac-name", default="eigen_dp",
+                   choices=sorted(ktpu.kfac_mappers))
+    p.add_argument("--kfac-update-freq", type=int, default=1,
+                   help="TInv; 0 disables K-FAC (SGD control arm)")
+    p.add_argument("--kfac-cov-update-freq", type=int, default=1, help="TCov")
+    p.add_argument("--stat-decay", type=float, default=0.95)
+    p.add_argument("--damping", type=float, default=0.03)
+    p.add_argument("--kl-clip", type=float, default=0.001)
+    p.add_argument("--damping-alpha", type=float, default=0.5)
+    p.add_argument("--damping-schedule", type=float, nargs="*", default=None)
+    p.add_argument("--kfac-update-freq-alpha", type=float, default=10)
+    p.add_argument("--kfac-update-freq-schedule", type=float, nargs="*",
+                   default=None)
+    p.add_argument("--exclude-parts", default="")
+    # harness
+    p.add_argument("--data-path", default=None)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--iters", type=int, default=None,
+                   help="cap total iterations (smoke/SPEED runs)")
+    p.add_argument("--speed", action="store_true",
+                   help="print per-stage timer breakdown")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--log-interval", type=int, default=10)
+    return p.parse_args(argv)
+
+
+def load_data(args):
+    if args.data_path and os.path.exists(args.data_path):
+        d = np.load(args.data_path)
+        return (
+            (d["x_train"].astype(np.float32), d["y_train"].astype(np.int32)),
+            (d["x_test"].astype(np.float32), d["y_test"].astype(np.int32)),
+        )
+    n_train, n_test = 2048, 512
+    rng = np.random.RandomState(args.seed)
+    x = rng.randn(n_train, 32, 32, 3).astype(np.float32)
+    y = rng.randint(0, args.num_classes, n_train).astype(np.int32)
+    xt = rng.randn(n_test, 32, 32, 3).astype(np.float32)
+    yt = rng.randint(0, args.num_classes, n_test).astype(np.int32)
+    return (x, y), (xt, yt)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s %(name)s %(message)s"
+    )
+    (x_train, y_train), (x_test, y_test) = load_data(args)
+    steps_per_epoch = max(len(x_train) // args.batch_size, 1)
+
+    model = get_model(args.model, num_classes=args.num_classes)
+    rng = jax.random.PRNGKey(args.seed)
+    sample = jnp.zeros((args.batch_size, 32, 32, 3), jnp.float32)
+    variables = model.init(rng, sample, train=True)
+    params = variables["params"]
+    model_state = {
+        k: v for k, v in variables.items()
+        if k not in ("params", ktpu.COL_A, ktpu.COL_G)
+    }
+
+    use_kfac = args.kfac_update_freq > 0
+    kfac = None
+    perturbs = None
+    if use_kfac:
+        specs, perturbs = ktpu.setup_kfac(
+            model, {"params": params, **model_state}, sample, train=True
+        )
+        log.info("#register modules: %d", len(specs))
+        kfac = ktpu.get_kfac_module(args.kfac_name)(
+            specs,
+            damping=args.damping,
+            kl_clip=args.kl_clip,
+            factor_decay=args.stat_decay,
+            **KFACConfig.exclude_parts_flags(args.exclude_parts),
+        )
+
+    lr_fn = lr_schedules.warmup_multistep(
+        args.base_lr, args.warmup_epochs, args.lr_decay,
+        steps_per_epoch=steps_per_epoch,
+    )
+    tx = lr_schedules.sgd_optimizer(lr_fn, args.momentum, args.wd)
+    state = TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        kfac_state=kfac.init_state() if kfac else None,
+        model_state=model_state,
+    )
+    train_step = jax.jit(
+        make_train_step(
+            model, tx, kfac,
+            label_smoothing=args.label_smoothing,
+            perturb_template=perturbs,
+            train_kwargs={"train": True},
+        )
+    )
+    eval_step = jax.jit(make_eval_step(model))
+
+    hypers = KFACHypers(args.damping, args.kfac_cov_update_freq,
+                        args.kfac_update_freq)
+    sched = KFACParamScheduler(
+        hypers,
+        damping_alpha=args.damping_alpha,
+        damping_schedule=args.damping_schedule,
+        update_freq_alpha=args.kfac_update_freq_alpha,
+        update_freq_schedule=args.kfac_update_freq_schedule,
+    )
+
+    data_rng = np.random.RandomState(args.seed)
+    timers = StageTimers()
+    global_step = 0
+    for epoch in range(args.epochs):
+        perm = data_rng.permutation(len(x_train))
+        train_loss, train_acc = Metric("loss"), Metric("acc")
+        for i in range(steps_per_epoch):
+            idx = perm[i * args.batch_size : (i + 1) * args.batch_size]
+            timers.start("io")
+            batch = (jnp.asarray(x_train[idx]), jnp.asarray(y_train[idx]))
+            timers.stop("io", batch[0])
+            scalars = KFACScalars.create(
+                lr=lr_fn(global_step),
+                damping=hypers.damping,
+                fac_update_freq=hypers.fac_update_freq,
+                kfac_update_freq=hypers.kfac_update_freq,
+            )
+            timers.start("step")
+            state, m = train_step(state, batch, scalars)
+            timers.stop("step", m["loss"])
+            train_loss.update(m["loss"])
+            train_acc.update(m["accuracy"])
+            global_step += 1
+            if args.iters and global_step >= args.iters:
+                break
+            if args.speed and global_step % args.log_interval == 0:
+                s = timers.summary(args.log_interval)
+                log.info(
+                    "iter %d: io %.4fs step %.4fs", global_step, s["io"],
+                    s["step"],
+                )
+        sched.step(epoch + 1)
+        # eval
+        n_eval = min(len(x_test), 10 * args.batch_size)
+        em = eval_step(
+            state.params, state.model_state,
+            (jnp.asarray(x_test[:n_eval]), jnp.asarray(y_test[:n_eval])),
+        )
+        log.info(
+            "epoch %d: train loss %.4f acc %.4f | val loss %.4f acc %.4f | "
+            "lr %.4f damping %.4g",
+            epoch,
+            train_loss.avg,
+            train_acc.avg,
+            float(em["loss"]),
+            float(em["accuracy"]),
+            float(lr_fn(global_step)),
+            hypers.damping,
+        )
+        if args.iters and global_step >= args.iters:
+            break
+    if args.speed:
+        log.info("timer summary: %s", timers.summary())
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -23,6 +23,7 @@ from kfac_pytorch_tpu.capture import (
     LayerSpec,
     collect_layer_specs,
     make_zero_perturbations,
+    setup_kfac,
 )
 from kfac_pytorch_tpu.preconditioner import (
     KFAC,
@@ -76,6 +77,7 @@ __all__ = [
     "COL_G",
     "collect_layer_specs",
     "make_zero_perturbations",
+    "setup_kfac",
     "kfac_mappers",
     "get_kfac_module",
     "DP_KFAC",

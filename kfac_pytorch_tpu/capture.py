@@ -231,14 +231,28 @@ def make_zero_perturbations(model: nn.Module, variables, *args, **kwargs):
     layer sows a zero of its output shape; returns concrete zeros.
     """
     shapes = jax.eval_shape(
-        lambda v: model.apply(
-            v, *args, mutable=[COL_A, COL_G], **kwargs
-        )[1][COL_G],
+        lambda v: model.apply(v, *args, mutable=True, **kwargs)[1][COL_G],
         variables,
     )
     return jax.tree_util.tree_map(
         lambda s: jnp.zeros(s.shape, s.dtype), shapes
     )
+
+
+def setup_kfac(model, variables, *args, **kwargs):
+    """One-call setup: returns (layer_specs, zero_perturbations).
+
+    ``variables`` are the model's non-perturbation collections (params,
+    batch_stats, ...); args/kwargs are a sample batch + apply kwargs (e.g.
+    ``train=True``). Both passes are abstract (eval_shape) — no FLOPs.
+    """
+    perturbs = make_zero_perturbations(model, variables, *args, **kwargs)
+    specs = collect_layer_specs(
+        lambda: model.apply(
+            {**variables, COL_G: perturbs}, *args, mutable=True, **kwargs
+        )
+    )
+    return specs, perturbs
 
 
 def _get_path(tree, path: Tuple[str, ...]):

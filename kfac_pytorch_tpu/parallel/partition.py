@@ -1,0 +1,166 @@
+"""Layer -> device-block partitioning and factor bucketing.
+
+Two pieces:
+
+1. ``block_partition``: optimal contiguous assignment of N weighted tasks to
+   P workers minimizing the bottleneck (max per-worker load). The reference
+   ships this as an offline prototype (/root/reference/scripts/
+   dp_block_partition.py:11-76, an O(N*P) dynamic program); here it is a
+   production scheduler implemented instead via binary search on the
+   bottleneck + greedy feasibility (O(N log(sum/eps))), used to pack
+   heterogeneous factor buckets onto the mesh.
+
+2. ``make_buckets``: groups K-FAC layers into same-(padded-)dimension
+   buckets so factor EMAs, eigendecompositions, and preconditioning run as
+   *batched* ops over a stacked leading axis — the axis that is sharded over
+   the mesh (the TPU-native replacement for the reference's per-layer rank
+   round-robin, kfac_preconditioner_inv.py:62-77). Within a bucket all rows
+   cost the same (dims padded to the bucket max), so load balance is exact
+   by construction; the row count is padded to a multiple of the shard count.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from kfac_pytorch_tpu.capture import LayerSpec
+
+# optional native implementation (C++: native/partition.cpp)
+try:  # pragma: no cover - exercised when the native lib is built
+    from kfac_pytorch_tpu.parallel import _native_partition
+
+    _HAVE_NATIVE = _native_partition.available()
+except Exception:  # pragma: no cover
+    _native_partition = None
+    _HAVE_NATIVE = False
+
+
+def _feasible(weights: np.ndarray, cap: float, p: int) -> bool:
+    """Can the sequence be split into <= p contiguous blocks of sum <= cap?"""
+    blocks, load = 1, 0.0
+    for w in weights:
+        if w > cap:
+            return False
+        if load + w > cap:
+            blocks += 1
+            load = w
+            if blocks > p:
+                return False
+        else:
+            load += w
+    return True
+
+
+def block_partition(weights: Sequence[float], p: int) -> np.ndarray:
+    """Optimal contiguous block partition: returns worker id per task.
+
+    Minimizes the bottleneck (max per-worker total weight) over contiguous
+    assignments; same objective as the reference's DP prototype, different
+    algorithm (parametric binary search).
+    """
+    w = np.asarray(weights, dtype=np.float64)
+    n = len(w)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    if n <= p:
+        return np.arange(n, dtype=np.int64)
+    if _HAVE_NATIVE:
+        return _native_partition.block_partition(w, p)
+
+    lo, hi = float(w.max()), float(w.sum())
+    # binary search to within a relative tolerance, then tighten exactly:
+    # candidate bottlenecks are partial sums, so refine with a final greedy.
+    for _ in range(64):
+        mid = 0.5 * (lo + hi)
+        if _feasible(w, mid, p):
+            hi = mid
+        else:
+            lo = mid
+    cap = hi * (1 + 1e-12)
+
+    placement = np.zeros(n, dtype=np.int64)
+    worker, load = 0, 0.0
+    for i in range(n):
+        if load + w[i] > cap and load > 0.0:
+            worker += 1
+            load = 0.0
+        placement[i] = min(worker, p - 1)
+        load += w[i]
+    # spread trailing tasks if workers are left idle (mirrors the reference's
+    # fill-in pass, dp_block_partition.py:68-74)
+    used = placement[-1] + 1
+    if used < p:
+        for i in range(n - 1, 0, -1):
+            if used >= p:
+                break
+            if placement[i] == placement[i - 1]:
+                placement[i:] += 1
+                used += 1
+    return placement
+
+
+def per_worker_load(weights, placement, p: int) -> np.ndarray:
+    load = np.zeros(p)
+    for w_i, r in zip(weights, placement):
+        load[r] += w_i
+    return load
+
+
+# --------------------------------------------------------------------------
+# Factor bucketing
+# --------------------------------------------------------------------------
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass(frozen=True)
+class Bucket:
+    """A group of K-FAC layers processed as one batched, shard-able block.
+
+    rows: L_pad entries; entry i is a spec index or -1 (padding row).
+    da/dg: padded factor dims (A includes the bias column when present).
+    """
+
+    rows: Tuple[int, ...]
+    da: int
+    dg: int
+
+    @property
+    def n_rows(self) -> int:
+        return len(self.rows)
+
+
+def make_buckets(
+    specs: Sequence[LayerSpec],
+    world_size: int,
+    dim_align: int = 8,
+) -> List[Bucket]:
+    """Group layers into same-padded-dim buckets, row-padded to world_size.
+
+    Grouping key is the (aligned dA, aligned dG) pair — ResNet-family models
+    repeat a handful of factor shapes many times, so buckets are large and
+    identity-padding waste is small. Rows within a bucket are interchangeable
+    (uniform cost), so the contiguous device blocks are balanced exactly.
+    """
+    groups: Dict[Tuple[int, int], List[int]] = {}
+    for i, s in enumerate(specs):
+        key = (_round_up(s.grad_in_dim, dim_align), _round_up(s.out_dim, dim_align))
+        groups.setdefault(key, []).append(i)
+
+    buckets = []
+    for (da, dg), idxs in sorted(groups.items()):
+        n_pad = _round_up(len(idxs), world_size)
+        rows = tuple(idxs) + (-1,) * (n_pad - len(idxs))
+        buckets.append(Bucket(rows=rows, da=da, dg=dg))
+    return buckets
+
+
+def bucket_eigh_cost(bucket: Bucket) -> float:
+    """Relative eigendecomposition cost of one bucket row (d^3 model, the
+    same cost model the reference fits offline, scripts/inverse_model.py)."""
+    return float(bucket.da**3 + bucket.dg**3)

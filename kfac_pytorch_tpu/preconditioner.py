@@ -83,6 +83,23 @@ def grad_from_2d(
     return out
 
 
+def compute_factor_a(spec: LayerSpec, a: jax.Array, precision=None) -> jax.Array:
+    """Kronecker A factor for one layer (dense or conv) from its input."""
+    if spec.kind == DENSE:
+        return fops.compute_a_dense(a, spec.has_bias, precision=precision)
+    return fops.compute_a_conv(
+        a, spec.kernel_size, spec.strides, spec.padding, spec.has_bias,
+        precision=precision,
+    )
+
+
+def compute_factor_g(spec: LayerSpec, g: jax.Array, precision=None) -> jax.Array:
+    """Kronecker G factor for one layer from its output cotangent."""
+    if spec.kind == DENSE:
+        return fops.compute_g_dense(g, batch_averaged=True, precision=precision)
+    return fops.compute_g_conv(g, batch_averaged=True, precision=precision)
+
+
 def _get_path(tree, path):
     node = tree
     for k in path:
@@ -181,27 +198,10 @@ class KFAC:
     # ---------------------------------------------------------- stats
 
     def _compute_a(self, spec: LayerSpec, a: jax.Array) -> jax.Array:
-        if spec.kind == DENSE:
-            return fops.compute_a_dense(
-                a, spec.has_bias, precision=self.config.precision
-            )
-        return fops.compute_a_conv(
-            a,
-            spec.kernel_size,
-            spec.strides,
-            spec.padding,
-            spec.has_bias,
-            precision=self.config.precision,
-        )
+        return compute_factor_a(spec, a, self.config.precision)
 
     def _compute_g(self, spec: LayerSpec, g: jax.Array) -> jax.Array:
-        if spec.kind == DENSE:
-            return fops.compute_g_dense(
-                g, batch_averaged=True, precision=self.config.precision
-            )
-        return fops.compute_g_conv(
-            g, batch_averaged=True, precision=self.config.precision
-        )
+        return compute_factor_g(spec, g, self.config.precision)
 
     # ---------------------------------------------------------- step
 

@@ -1,0 +1,79 @@
+"""Checkpoint / resume (orbax).
+
+Reference behavior: rank-0 torch.save of {'model','optimizer'} per epoch
+(/root/reference/examples/utils.py:11-18), resume by scanning
+checkpoint-{epoch}.pth.tar (pytorch_imagenet_resnet.py:162-167,305-312),
+K-FAC factor state NOT checkpointed (re-warms from the EMA after resume).
+
+Improvement here: the full TrainState pytree — params, optimizer state,
+BatchNorm stats, *and the K-FAC factor/eigen state* — is saved, so resume
+continues with warm curvature instead of re-warming (the cheap win called
+out in SURVEY.md §5). KFACParamScheduler(start_epoch=...) realigns the
+hyper-parameter schedules exactly like the reference.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Optional, Tuple
+
+import jax
+
+
+def _ckpt_dir(base: str, epoch: int) -> str:
+    return os.path.join(os.path.abspath(base), f"checkpoint-{epoch}")
+
+
+def latest_epoch(base: str) -> Optional[int]:
+    """Scan for the newest checkpoint-{epoch} directory (the reference's
+    resume_from_epoch scan)."""
+    if not os.path.isdir(base):
+        return None
+    epochs = []
+    for name in os.listdir(base):
+        m = re.fullmatch(r"checkpoint-(\d+)", name)
+        if m and os.path.isdir(os.path.join(base, name)):
+            epochs.append(int(m.group(1)))
+    return max(epochs) if epochs else None
+
+
+def save_checkpoint(base: str, state, epoch: int, keep: int = 3) -> str:
+    """Save the TrainState for ``epoch``; prune to the ``keep`` newest."""
+    import orbax.checkpoint as ocp
+
+    path = _ckpt_dir(base, epoch)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.device_get(state), force=True)
+    ckptr.wait_until_finished()
+    # prune old checkpoints
+    existing = sorted(
+        e for e in (latest_epoch(base),) if e is not None
+    )  # noqa: F841 (latest only used below)
+    all_epochs = []
+    for name in os.listdir(base):
+        m = re.fullmatch(r"checkpoint-(\d+)", name)
+        if m:
+            all_epochs.append(int(m.group(1)))
+    for e in sorted(all_epochs)[:-keep]:
+        import shutil
+
+        shutil.rmtree(_ckpt_dir(base, e), ignore_errors=True)
+    return path
+
+
+def restore_checkpoint(base: str, template, epoch: Optional[int] = None):
+    """Restore (state, epoch) from the newest (or given) checkpoint.
+
+    ``template`` is a TrainState with the right structure/shapes (e.g. a
+    freshly initialized one). Returns (template, None) when no checkpoint
+    exists.
+    """
+    import orbax.checkpoint as ocp
+
+    e = latest_epoch(base) if epoch is None else epoch
+    if e is None:
+        return template, None
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(_ckpt_dir(base, e), template)
+    return restored, e

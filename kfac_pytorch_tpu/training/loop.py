@@ -31,6 +31,7 @@ class TrainState:
     params: Any
     opt_state: Any
     kfac_state: Any  # None when K-FAC disabled
+    model_state: Any = struct.field(default_factory=dict)  # e.g. batch_stats
 
 
 @struct.dataclass
@@ -108,31 +109,35 @@ def make_train_step(
         else None
     )
 
-    def _loss_with_capture(params, perturbs, batch):
+    def _loss_with_capture(params, perturbs, model_state, batch):
         x, y = batch
-        variables = {"params": params}
+        xs = x if isinstance(x, tuple) else (x,)  # multi-input models
+        variables = {"params": params, **model_state}
+        mutable = list(model_state.keys())
         if perturbs is not None:
             variables[COL_G] = perturbs
+            mutable = [COL_A] + mutable
         out = model.apply(
-            variables, x, mutable=[COL_A] if perturbs is not None else False,
-            **train_kwargs,
+            variables, *xs, mutable=mutable if mutable else False,
+            **train_kwargs
         )
-        if perturbs is not None:
+        if mutable:
             logits, muts = out
-            acts = muts[COL_A]
+            acts = muts.get(COL_A)
+            new_model_state = {k: v for k, v in muts.items() if k != COL_A}
         else:
-            logits, acts = out, None
+            logits, acts, new_model_state = out, None, model_state
         loss = loss_fn(logits, y)
-        return loss, (logits, acts)
+        return loss, (logits, acts, new_model_state)
 
     def train_step(state: TrainState, batch, scalars: KFACScalars):
         if kfac is not None:
             perturbs = jax.tree_util.tree_map(
                 lambda s: jnp.zeros(s.shape, s.dtype), perturb_shapes
             )
-            (loss, (logits, acts)), (grads, gs) = jax.value_and_grad(
+            (loss, (logits, acts, model_state)), (grads, gs) = jax.value_and_grad(
                 _loss_with_capture, argnums=(0, 1), has_aux=True
-            )(state.params, perturbs, batch)
+            )(state.params, perturbs, state.model_state, batch)
             precond_grads, kfac_state = kfac.step(
                 state.kfac_state,
                 grads,
@@ -144,9 +149,10 @@ def make_train_step(
                 kfac_update_freq=scalars.kfac_update_freq,
             )
         else:
-            (loss, (logits, _)), grads = jax.value_and_grad(
-                lambda p, b: _loss_with_capture(p, None, b), has_aux=True
-            )(state.params, batch)
+            (loss, (logits, _, model_state)), grads = jax.value_and_grad(
+                lambda p, ms, b: _loss_with_capture(p, None, ms, b),
+                has_aux=True,
+            )(state.params, state.model_state, batch)
             precond_grads, kfac_state = grads, state.kfac_state
 
         updates, opt_state = tx.update(
@@ -160,7 +166,12 @@ def make_train_step(
             ),
         }
         return (
-            TrainState(params=params, opt_state=opt_state, kfac_state=kfac_state),
+            TrainState(
+                params=params,
+                opt_state=opt_state,
+                kfac_state=kfac_state,
+                model_state=model_state,
+            ),
             metrics,
         )
 
@@ -172,9 +183,9 @@ def make_eval_step(model, *, loss_fn=None, eval_kwargs=None):
     if loss_fn is None:
         loss_fn = softmax_cross_entropy
 
-    def eval_step(params, batch):
+    def eval_step(params, model_state, batch):
         x, y = batch
-        logits = model.apply({"params": params}, x, **eval_kwargs)
+        logits = model.apply({"params": params, **model_state}, x, **eval_kwargs)
         return {
             "loss": loss_fn(logits, y),
             "accuracy": jnp.mean(

@@ -1,0 +1,210 @@
+"""Tests for BlockKFAC (bucketed batched K-FAC) and the sharded train step.
+
+Distributed semantics run on the simulated 8-device CPU mesh (conftest).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import optax
+
+import kfac_pytorch_tpu as ktpu
+from kfac_pytorch_tpu.parallel import mesh as meshlib
+from kfac_pytorch_tpu.parallel.strategies import BlockKFAC
+from kfac_pytorch_tpu.parallel.train import (
+    make_sharded_train_step,
+    shard_train_state,
+)
+from kfac_pytorch_tpu.preconditioner import KFAC, KFACConfig
+from kfac_pytorch_tpu.training.loop import (
+    KFACScalars,
+    TrainState,
+    make_train_step,
+)
+
+
+class Net(nn.Module):
+    classes: int = 5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ktpu.KFACConv(8, (3, 3), name="conv1")(x)
+        x = nn.relu(x)
+        x = ktpu.KFACConv(8, (3, 3), strides=(2, 2), name="conv2")(x)
+        x = nn.relu(x)
+        x = x.reshape(x.shape[0], -1)
+        x = ktpu.KFACDense(16, name="fc1")(x)
+        x = jnp.tanh(x)
+        return ktpu.KFACDense(self.classes, name="fc2")(x)
+
+
+def _setup(batch=16, seed=0):
+    rng = np.random.RandomState(seed)
+    model = Net()
+    x = jnp.asarray(rng.randn(batch, 8, 8, 3).astype(np.float32))
+    y = jnp.asarray(rng.randint(0, 5, batch))
+    params = model.init(jax.random.PRNGKey(seed), x)["params"]
+    specs, perturbs = ktpu.setup_kfac(model, {"params": params}, x)
+    return model, params, specs, perturbs, x, y
+
+
+def _capture(model, params, perturbs, x, y):
+    def loss_fn(p, pert):
+        out, muts = model.apply(
+            {"params": p, ktpu.COL_G: pert}, x, mutable=[ktpu.COL_A]
+        )
+        one_hot = jax.nn.one_hot(y, out.shape[-1])
+        loss = -jnp.mean(jnp.sum(one_hot * jax.nn.log_softmax(out), -1))
+        return loss, muts[ktpu.COL_A]
+
+    (loss, acts), (grads, gs) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True
+    )(params, perturbs)
+    return acts, grads, gs
+
+
+@pytest.mark.parametrize("inv_type", ["eigen", "inverse"])
+def test_block_kfac_matches_per_layer_kfac(inv_type):
+    """BlockKFAC (bucketed batched) must equal the per-layer reference
+    implementation exactly on a single device."""
+    model, params, specs, perturbs, x, y = _setup()
+    acts, grads, gs = _capture(model, params, perturbs, x, y)
+    cfg = KFACConfig(inv_type=inv_type, damping=0.03, kl_clip=0.001)
+
+    ref = KFAC(specs, cfg)
+    out_ref, st_ref = ref.step(ref.init_state(), grads, acts, gs, lr=0.1)
+
+    blk = BlockKFAC(specs, cfg, world_size=1)
+    out_blk, st_blk = jax.jit(
+        lambda s, g, a, p: blk.step(s, g, a, p, lr=0.1)
+    )(blk.init_state(), grads, acts, gs)
+
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-6
+        ),
+        out_ref,
+        out_blk,
+    )
+
+
+def test_block_kfac_freq_gating():
+    model, params, specs, perturbs, x, y = _setup(seed=1)
+    blk = BlockKFAC(specs, KFACConfig(kl_clip=None), world_size=1)
+    step = jax.jit(
+        lambda s, g, a, p, f: blk.step(
+            s, g, a, p, lr=0.1, fac_update_freq=f, kfac_update_freq=f
+        )
+    )
+    acts, grads, gs = _capture(model, params, perturbs, x, y)
+    _, s1 = step(blk.init_state(), grads, acts, gs, 2)
+    a1 = np.asarray(s1["buckets"][0]["A"])
+    _, s2 = step(s1, grads, acts, gs, 2)
+    np.testing.assert_array_equal(np.asarray(s2["buckets"][0]["A"]), a1)
+
+
+def _run_sharded(strategy, model, params, specs, x, y, mesh, steps=4):
+    n_dev = mesh.devices.size
+    cfg = KFACConfig(
+        inv_type="eigen", strategy=strategy, damping=0.03, kl_clip=0.001
+    )
+    kfac = BlockKFAC(specs, cfg, world_size=n_dev)
+    tx = optax.sgd(0.05, momentum=0.9)
+    state = TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        kfac_state=kfac.init_state(),
+        model_state={},
+    )
+    local_x = x[: x.shape[0] // n_dev]
+    local_pert = ktpu.make_zero_perturbations(model, {"params": params}, local_x)
+    step_fn = make_sharded_train_step(
+        model, tx, kfac, mesh, state, local_perturb_template=local_pert
+    )
+    state = shard_train_state(mesh, kfac, state)
+    data = meshlib.shard_batch(mesh, (x, y))
+    scalars = KFACScalars.create(lr=0.05, damping=0.03)
+    losses = []
+    for _ in range(steps):
+        state, m = step_fn(state, data, scalars)
+        losses.append(float(m["loss"]))
+    return state, losses
+
+
+def test_sharded_mpd_equals_single_device():
+    """MPD strategy (factor pmean = the reference's factor allreduce) on 8
+    devices must reproduce the single-device full-batch run."""
+    model, params, specs, perturbs, x, y = _setup(batch=32, seed=2)
+    mesh = meshlib.make_mesh(8)
+    state_sh, losses_sh = _run_sharded("mpd", model, params, specs, x, y, mesh)
+
+    # single-device run with the same math
+    cfg = KFACConfig(inv_type="eigen", damping=0.03, kl_clip=0.001)
+    kfac1 = BlockKFAC(specs, cfg, world_size=1)
+    tx = optax.sgd(0.05, momentum=0.9)
+    st = TrainState(
+        params=params, opt_state=tx.init(params),
+        kfac_state=kfac1.init_state(), model_state={},
+    )
+    step1 = jax.jit(
+        make_train_step(model, tx, kfac1, perturb_template=perturbs)
+    )
+    # NB: loop.make_train_step drives the per-layer path; use BlockKFAC here
+    # via its own step to keep the math identical.
+    losses_1 = []
+    scalars = KFACScalars.create(lr=0.05, damping=0.03)
+    for _ in range(4):
+        st, m = step1(st, (x, y), scalars)
+        losses_1.append(float(m["loss"]))
+
+    np.testing.assert_allclose(losses_sh, losses_1, rtol=2e-3, atol=2e-4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4
+        ),
+        state_sh.params,
+        st.params,
+    )
+
+
+def test_sharded_dp_trains_and_differs_from_mpd():
+    """DP-KFAC: no factor communication, owner uses local-batch factors.
+    Must train (loss decreases) and produce different (but close) factors
+    than MPD."""
+    model, params, specs, perturbs, x, y = _setup(batch=32, seed=3)
+    mesh = meshlib.make_mesh(8)
+    state_dp, losses_dp = _run_sharded("dp", model, params, specs, x, y, mesh)
+    state_mpd, losses_mpd = _run_sharded("mpd", model, params, specs, x, y, mesh)
+    assert losses_dp[-1] < losses_dp[0]
+    # local-batch factors != global-batch factors
+    a_dp = np.asarray(
+        jax.device_get(state_dp.kfac_state["buckets"][0]["A"])
+    )
+    a_mpd = np.asarray(
+        jax.device_get(state_mpd.kfac_state["buckets"][0]["A"])
+    )
+    assert not np.allclose(a_dp, a_mpd)
+    # but the trained parameters stay in the same neighborhood
+    for la, lb in zip(losses_dp, losses_mpd):
+        assert abs(la - lb) < 0.5
+
+
+def test_sharded_sgd_control_arm():
+    model, params, specs, perturbs, x, y = _setup(batch=32, seed=4)
+    mesh = meshlib.make_mesh(8)
+    tx = optax.sgd(0.05, momentum=0.9)
+    state = TrainState(
+        params=params, opt_state=tx.init(params), kfac_state=None,
+        model_state={},
+    )
+    step_fn = make_sharded_train_step(model, tx, None, mesh, state)
+    state = shard_train_state(mesh, None, state)
+    data = meshlib.shard_batch(mesh, (x, y))
+    scalars = KFACScalars.create(lr=0.05)
+    losses = []
+    for _ in range(5):
+        state, m = step_fn(state, data, scalars)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
