@@ -23,11 +23,19 @@ import numpy as np
 
 def _build(model_name, batch, image, num_classes):
     import jax
+
+    # persistent compilation cache: XLA eigh kernels compile slowly over the
+    # remote-compile tunnel (100-200s at dim 4608); cache across runs.
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
     import optax
 
     import kfac_pytorch_tpu as ktpu
     from kfac_pytorch_tpu.models import get_model
+    from kfac_pytorch_tpu.parallel.strategies import BlockKFAC
+    from kfac_pytorch_tpu.preconditioner import KFACConfig
     from kfac_pytorch_tpu.training.loop import (
         KFACScalars,
         TrainState,
@@ -62,7 +70,12 @@ def _build(model_name, batch, image, num_classes):
         )
         return fn, st
 
-    kfac = ktpu.get_kfac_module("eigen_dp")(specs, damping=0.002)
+    # bucketed batched implementation: ~20 eigh shapes instead of 54
+    kfac = BlockKFAC(
+        specs,
+        KFACConfig(inv_type="eigen", strategy="dp", damping=0.002),
+        world_size=1,
+    )
     scalars = KFACScalars.create(lr=0.1, damping=0.002)
     return make(None), make(kfac), (x, y), scalars
 

@@ -1,0 +1,282 @@
+"""ImageNet K-FAC training harness (TPU-native).
+
+Equivalent of /root/reference/examples/pytorch_imagenet_resnet.py: ResNet
+family + label smoothing, K-FAC with KFACParamScheduler damping/update-freq
+decay schedules, checkpoint scan/resume, per-stage SPEED timers, gradient
+accumulation (the reference's --batches-per-allreduce), and the distributed
+path over a device mesh (--n-devices) using the sharded DP-KFAC step.
+
+Data: --data-path npz (x_train,y_train,...) or --synthetic (default).
+
+Canonical config parity (train_imagenet.sh:3-24): bs=32/device, base-lr
+0.0125 x devices, 55 epochs decaying at 25/35/40/45/50, warmup 5,
+eigen_dp damping 0.002, label smoothing 0.1.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+import kfac_pytorch_tpu as ktpu
+from kfac_pytorch_tpu.models import get_model
+from kfac_pytorch_tpu.parallel import mesh as meshlib
+from kfac_pytorch_tpu.parallel.strategies import BlockKFAC
+from kfac_pytorch_tpu.parallel.train import make_sharded_train_step, shard_train_state
+from kfac_pytorch_tpu.preconditioner import KFACConfig, KFACHypers, KFACParamScheduler
+from kfac_pytorch_tpu.training import checkpoint as ckpt
+from kfac_pytorch_tpu.training.loop import (
+    KFACScalars,
+    TrainState,
+    make_eval_step,
+    make_train_step,
+)
+from kfac_pytorch_tpu.utils import lr_schedules
+from kfac_pytorch_tpu.utils.metrics import Metric, StageTimers
+
+log = logging.getLogger("train_imagenet")
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", default="imagenet-resnet50")
+    p.add_argument("--num-classes", type=int, default=1000)
+    p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--batch-size", type=int, default=32,
+                   help="per-device batch size")
+    p.add_argument("--val-batch-size", type=int, default=32)
+    p.add_argument("--batches-per-allreduce", type=int, default=1,
+                   help="gradient accumulation steps")
+    p.add_argument("--epochs", type=int, default=55)
+    p.add_argument("--base-lr", type=float, default=0.0125,
+                   help="lr per device (scaled by device count)")
+    p.add_argument("--lr-decay", type=float, nargs="+",
+                   default=[25, 35, 40, 45, 50])
+    p.add_argument("--warmup-epochs", type=int, default=5)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--wd", type=float, default=5e-5)
+    p.add_argument("--label-smoothing", type=float, default=0.1)
+    # K-FAC
+    p.add_argument("--kfac-name", default="eigen_dp",
+                   choices=sorted(ktpu.kfac_mappers))
+    p.add_argument("--kfac-update-freq", type=int, default=1)
+    p.add_argument("--kfac-cov-update-freq", type=int, default=1)
+    p.add_argument("--stat-decay", type=float, default=0.95)
+    p.add_argument("--damping", type=float, default=0.002)
+    p.add_argument("--kl-clip", type=float, default=0.001)
+    p.add_argument("--damping-alpha", type=float, default=0.5)
+    p.add_argument("--damping-schedule", type=float, nargs="*",
+                   default=[25, 35])
+    p.add_argument("--kfac-update-freq-alpha", type=float, default=10)
+    p.add_argument("--kfac-update-freq-schedule", type=float, nargs="*",
+                   default=[25, 35])
+    p.add_argument("--exclude-parts", default="")
+    # distribution
+    p.add_argument("--n-devices", type=int, default=None,
+                   help="use the sharded mesh path over N devices")
+    # harness
+    p.add_argument("--data-path", default=None)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--iters", type=int, default=None)
+    p.add_argument("--speed", action="store_true")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--log-interval", type=int, default=10)
+    return p.parse_args(argv)
+
+
+def load_data(args):
+    if args.data_path and os.path.exists(args.data_path):
+        d = np.load(args.data_path)
+        return (
+            (d["x_train"].astype(np.float32), d["y_train"].astype(np.int32)),
+            (d["x_test"].astype(np.float32), d["y_test"].astype(np.int32)),
+        )
+    s = args.image_size
+    n_train, n_test = 512, 128
+    rng = np.random.RandomState(args.seed)
+    return (
+        (rng.randn(n_train, s, s, 3).astype(np.float32),
+         rng.randint(0, args.num_classes, n_train).astype(np.int32)),
+        (rng.randn(n_test, s, s, 3).astype(np.float32),
+         rng.randint(0, args.num_classes, n_test).astype(np.int32)),
+    )
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s %(message)s")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    n_dev = args.n_devices or 1
+    mesh = meshlib.make_mesh(n_dev) if n_dev > 1 else None
+    global_bs = args.batch_size * n_dev
+    lr_scale = n_dev  # reference scales lr by world size
+
+    (x_train, y_train), (x_test, y_test) = load_data(args)
+    steps_per_epoch = max(len(x_train) // global_bs, 1)
+
+    model = get_model(args.model, num_classes=args.num_classes)
+    rng = jax.random.PRNGKey(args.seed)
+    sample = jnp.zeros((global_bs, args.image_size, args.image_size, 3))
+    variables = model.init(rng, sample, train=True)
+    params = variables["params"]
+    model_state = {
+        k: v for k, v in variables.items()
+        if k not in ("params", ktpu.COL_A, ktpu.COL_G)
+    }
+
+    use_kfac = args.kfac_update_freq > 0
+    inv_type, strategy = (
+        ("eigen", "dp") if args.kfac_name == "eigen_dp" else
+        ("inverse", "dp") if args.kfac_name == "inverse_dp" else
+        ("eigen", "mpd") if args.kfac_name == "eigen" else
+        ("inverse", "mpd")
+    )
+    kfac = None
+    if use_kfac:
+        specs, _ = ktpu.setup_kfac(
+            model, {"params": params, **model_state}, sample, train=True
+        )
+        log.info("#register modules: %d", len(specs))
+        kfac = BlockKFAC(
+            specs,
+            KFACConfig(
+                inv_type=inv_type, strategy=strategy, damping=args.damping,
+                kl_clip=args.kl_clip, factor_decay=args.stat_decay,
+                **KFACConfig.exclude_parts_flags(args.exclude_parts),
+            ),
+            world_size=n_dev,
+        )
+
+    lr_fn = lr_schedules.warmup_multistep(
+        args.base_lr * lr_scale, args.warmup_epochs, args.lr_decay,
+        steps_per_epoch=steps_per_epoch,
+    )
+    tx = lr_schedules.sgd_optimizer(lr_fn, args.momentum, args.wd)
+    if args.batches_per_allreduce > 1:
+        tx = optax.MultiSteps(tx, args.batches_per_allreduce)
+    state = TrainState(
+        params=params, opt_state=tx.init(params),
+        kfac_state=kfac.init_state() if kfac else None,
+        model_state=model_state,
+    )
+
+    # resume
+    start_epoch = 0
+    if args.checkpoint_dir:
+        state, resumed = ckpt.restore_checkpoint(args.checkpoint_dir, state)
+        if resumed is not None:
+            start_epoch = resumed + 1
+            log.info("resumed from epoch %d", resumed)
+            state = jax.tree_util.tree_map(jnp.asarray, state)
+
+    if mesh is not None:
+        local_sample = sample[: args.batch_size]
+        local_pert = (
+            ktpu.make_zero_perturbations(
+                model, {"params": params, **model_state}, local_sample,
+                train=True,
+            )
+            if use_kfac else None
+        )
+        train_step = make_sharded_train_step(
+            model, tx, kfac, mesh, state,
+            local_perturb_template=local_pert,
+            label_smoothing=args.label_smoothing,
+            train_kwargs={"train": True},
+        )
+        state = shard_train_state(mesh, kfac, state)
+    else:
+        perturbs = (
+            ktpu.make_zero_perturbations(
+                model, {"params": params, **model_state}, sample, train=True
+            )
+            if use_kfac else None
+        )
+        train_step = jax.jit(
+            make_train_step(
+                model, tx, kfac, label_smoothing=args.label_smoothing,
+                perturb_template=perturbs, train_kwargs={"train": True},
+            )
+        )
+    eval_step = jax.jit(make_eval_step(model))
+
+    hypers = KFACHypers(args.damping, args.kfac_cov_update_freq,
+                        args.kfac_update_freq)
+    sched = KFACParamScheduler(
+        hypers,
+        damping_alpha=args.damping_alpha,
+        damping_schedule=args.damping_schedule,
+        update_freq_alpha=args.kfac_update_freq_alpha,
+        update_freq_schedule=args.kfac_update_freq_schedule,
+        start_epoch=start_epoch,
+    )
+
+    data_rng = np.random.RandomState(args.seed)
+    timers = StageTimers()
+    global_step = start_epoch * steps_per_epoch
+    for epoch in range(start_epoch, args.epochs):
+        perm = data_rng.permutation(len(x_train))
+        train_loss, train_acc = Metric("loss"), Metric("acc")
+        for i in range(steps_per_epoch):
+            idx = perm[i * global_bs : (i + 1) * global_bs]
+            timers.start("io")
+            batch = (jnp.asarray(x_train[idx]), jnp.asarray(y_train[idx]))
+            if mesh is not None:
+                batch = meshlib.shard_batch(mesh, batch)
+            timers.stop("io", batch[0])
+            scalars = KFACScalars.create(
+                lr=lr_fn(global_step), damping=hypers.damping,
+                fac_update_freq=hypers.fac_update_freq,
+                kfac_update_freq=hypers.kfac_update_freq,
+            )
+            timers.start("step")
+            state, m = train_step(state, batch, scalars)
+            timers.stop("step", m["loss"])
+            train_loss.update(m["loss"])
+            train_acc.update(m["accuracy"])
+            global_step += 1
+            if args.speed and global_step % args.log_interval == 0:
+                s = timers.summary(args.log_interval)
+                log.info("iter %d: io %.4fs step %.4fs", global_step,
+                         s["io"], s["step"])
+            if args.iters and global_step >= args.iters:
+                break
+        sched.step(epoch + 1)
+        n_eval = min(len(x_test), 4 * args.val_batch_size)
+        em = eval_step(
+            state.params, state.model_state,
+            (jnp.asarray(x_test[:n_eval]), jnp.asarray(y_test[:n_eval])),
+        )
+        log.info(
+            "epoch %d: train loss %.4f acc %.4f | val loss %.4f acc %.4f | "
+            "lr %.4f damping %.4g",
+            epoch, train_loss.avg, train_acc.avg, float(em["loss"]),
+            float(em["accuracy"]), float(lr_fn(global_step)), hypers.damping,
+        )
+        if args.checkpoint_dir:
+            os.makedirs(args.checkpoint_dir, exist_ok=True)
+            ckpt.save_checkpoint(args.checkpoint_dir, state, epoch)
+        if args.iters and global_step >= args.iters:
+            break
+    if args.speed:
+        log.info("timer summary: %s", timers.summary())
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -31,6 +31,10 @@ from kfac_pytorch_tpu.preconditioner import (
     KFACHypers,
     KFACParamScheduler,
 )
+from kfac_pytorch_tpu.intercept import (
+    setup_kfac_intercepted,
+    tagged_apply,
+)
 
 
 def _builder(inv_type: str, strategy: str):
@@ -81,4 +85,6 @@ __all__ = [
     "kfac_mappers",
     "get_kfac_module",
     "DP_KFAC",
+    "setup_kfac_intercepted",
+    "tagged_apply",
 ]

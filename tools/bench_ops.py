@@ -1,0 +1,175 @@
+"""Op-level microbenchmarks: symeig, Cholesky, factor GEMMs, patch extract.
+
+TPU-native counterpart of the reference's microbenchmark suite
+(/root/reference/scripts/bench_ops.py, bench_extract_patches.py): sweeps the
+eigendecomposition across K-FAC factor sizes, compares fp32-vs-bf16 factor
+GEMMs (the tensor-core comparison, scripts/bench_ops.py:50-70), and times
+patch extraction over the real ResNet-50 conv shapes.
+
+Usage:
+  python tools/bench_ops.py [--op symeig|cholesky|gemm|patches|all]
+                            [--sizes 128 512 1024 ...] [--json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def _timeit(fn, *args, iters=5, warmup=2):
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def _spd(rng, n):
+    m = rng.randn(n, n).astype(np.float32)
+    return m @ m.T / n + np.eye(n, dtype=np.float32)
+
+
+def bench_symeig(sizes, results):
+    import jax
+    import jax.numpy as jnp
+    from kfac_pytorch_tpu.ops import linalg as L
+
+    rng = np.random.RandomState(0)
+    f = jax.jit(lambda x: L.symeig(x))
+    for n in sizes:
+        m = jnp.asarray(_spd(rng, n))
+        t = _timeit(f, m)
+        # QDWH-ish flop model ~ 60 n^3 (order of magnitude for GFLOP/s)
+        gflops = 60 * n**3 / t / 1e9
+        results.append({"op": "symeig", "n": n, "time_s": t, "gflops": gflops})
+        print(f"symeig   n={n:5d}  {t*1e3:9.2f} ms  ~{gflops:8.1f} GF/s")
+
+
+def bench_cholesky(sizes, results):
+    import jax
+    import jax.numpy as jnp
+    from kfac_pytorch_tpu.ops import linalg as L
+
+    rng = np.random.RandomState(0)
+    f = jax.jit(lambda x: L.damped_inverse(x, 0.01))
+    for n in sizes:
+        m = jnp.asarray(_spd(rng, n))
+        t = _timeit(f, m)
+        gflops = (4 / 3) * n**3 / t / 1e9
+        results.append(
+            {"op": "cholesky_inv", "n": n, "time_s": t, "gflops": gflops}
+        )
+        print(f"chol_inv n={n:5d}  {t*1e3:9.2f} ms  ~{gflops:8.1f} GF/s")
+
+
+def bench_gemm(sizes, results):
+    """Factor-accumulation GEMM a^T(a/B): fp32-highest vs bf16->fp32 (the
+    reference's cuBLAS fp32 vs tensor-core f_gemm_ex comparison)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    rows = 32 * 56 * 56  # RN50-class patch rows
+    for n in sizes:
+        a32 = jnp.asarray(rng.randn(rows, n).astype(np.float32))
+        a16 = a32.astype(jnp.bfloat16)
+
+        f32 = jax.jit(
+            lambda a: jax.lax.dot_general(
+                a, a / rows, (((0,), (0,)), ((), ())), precision="highest",
+                preferred_element_type=jnp.float32,
+            )
+        )
+        fbf = jax.jit(
+            lambda a: jax.lax.dot_general(
+                a, a / rows, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+        t32, tbf = _timeit(f32, a32), _timeit(fbf, a16)
+        fl = 2 * rows * n * n
+        results.append(
+            {"op": "factor_gemm", "n": n, "fp32_s": t32, "bf16_s": tbf,
+             "fp32_gflops": fl / t32 / 1e9, "bf16_gflops": fl / tbf / 1e9}
+        )
+        print(
+            f"gemm     n={n:5d}  fp32 {t32*1e3:8.2f} ms ({fl/t32/1e12:6.2f} "
+            f"TF/s) | bf16 {tbf*1e3:8.2f} ms ({fl/tbf/1e12:6.2f} TF/s)"
+        )
+
+
+# ResNet-50 conv layer shapes: (in_c, H, W, kh, stride) at batch 32
+RN50_CONV_SHAPES = [
+    (3, 224, 224, 7, 2),
+    (64, 56, 56, 1, 1), (64, 56, 56, 3, 1), (256, 56, 56, 1, 1),
+    (256, 56, 56, 1, 2), (128, 28, 28, 3, 1), (512, 28, 28, 1, 1),
+    (512, 28, 28, 1, 2), (256, 14, 14, 3, 1), (1024, 14, 14, 1, 1),
+    (1024, 14, 14, 1, 2), (512, 7, 7, 3, 1), (2048, 7, 7, 1, 1),
+]
+
+
+def bench_patches(results, batch=32):
+    import jax
+    import jax.numpy as jnp
+    from kfac_pytorch_tpu.ops import factors as F
+
+    rng = np.random.RandomState(0)
+    total = 0.0
+    for cin, h, w, k, s in RN50_CONV_SHAPES:
+        x = jnp.asarray(rng.randn(batch, h, w, cin).astype(np.float32))
+        pad = F.resolve_conv_padding("SAME", (h, w), (k, k), (s, s))
+        f = jax.jit(
+            lambda x, k=k, s=s, pad=pad: F.extract_patches(x, (k, k), (s, s), pad)
+        )
+        t = _timeit(f, x)
+        total += t
+        results.append(
+            {"op": "extract_patches", "shape": [cin, h, w, k, s], "time_s": t}
+        )
+        print(f"patches  c={cin:4d} {h:3d}x{w:<3d} k={k} s={s}  {t*1e3:8.3f} ms")
+    print(f"patches  TOTAL {total*1e3:.2f} ms")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--op", default="all",
+                   choices=["symeig", "cholesky", "gemm", "patches", "all"])
+    p.add_argument("--sizes", type=int, nargs="+",
+                   default=[128, 256, 512, 1024, 2048, 4608])
+    p.add_argument("--json", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    results = []
+    if args.op in ("symeig", "all"):
+        bench_symeig(args.sizes, results)
+    if args.op in ("cholesky", "all"):
+        bench_cholesky(args.sizes, results)
+    if args.op in ("gemm", "all"):
+        bench_gemm(args.sizes, results)
+    if args.op in ("patches", "all"):
+        bench_patches(results)
+    if args.json:
+        print(json.dumps(results))
+    return results
+
+
+if __name__ == "__main__":
+    main()
