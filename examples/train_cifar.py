@@ -79,6 +79,8 @@ def parse_args(argv=None):
                    help="cap total iterations (smoke/SPEED runs)")
     p.add_argument("--speed", action="store_true",
                    help="print per-stage timer breakdown")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax profiler trace (xprof) of a few steps")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--log-interval", type=int, default=10)
     return p.parse_args(argv)
@@ -182,9 +184,13 @@ def main(argv=None):
                 fac_update_freq=hypers.fac_update_freq,
                 kfac_update_freq=hypers.kfac_update_freq,
             )
+            if args.profile_dir and global_step == 5:
+                jax.profiler.start_trace(args.profile_dir)
             timers.start("step")
             state, m = train_step(state, batch, scalars)
             timers.stop("step", m["loss"])
+            if args.profile_dir and global_step == 10:
+                jax.profiler.stop_trace()
             train_loss.update(m["loss"])
             train_acc.update(m["accuracy"])
             global_step += 1

@@ -272,8 +272,8 @@ class BlockKFAC:
                 if cfg.inv_type == EIGEN:
 
                     def inv_update(entry=entry):
-                        da_, qa = lops.symeig(entry["A"], cfg.eps)
-                        dg_, qg = lops.symeig(entry["G"], cfg.eps)
+                        da_, qa = cfg.symeig(entry["A"])
+                        dg_, qg = cfg.symeig(entry["G"])
                         return da_, qa, dg_, qg
 
                     entry["dA"], entry["QA"], entry["dG"], entry["QG"] = (

@@ -139,6 +139,24 @@ class KFACConfig:
     exclude_communicate_inverse: bool = False
     # matmul precision for factor/precond GEMMs
     precision: Any = None
+    # symmetric eigensolver: 'xla' (QDWH eigh) or 'jacobi' (Pallas one-sided
+    # Jacobi for dims <= jacobi_max_dim, XLA above — the tcmm f_symeig
+    # equivalent, ops/pallas/symeig.py)
+    symeig_impl: str = "xla"
+    jacobi_sweeps: int = 10
+    jacobi_max_dim: int = 1024
+
+    def symeig(self, x):
+        if self.symeig_impl == "jacobi":
+            from kfac_pytorch_tpu.ops.pallas.symeig import symeig_auto
+
+            return symeig_auto(
+                x, self.eps, sweeps=self.jacobi_sweeps,
+                max_pallas_dim=self.jacobi_max_dim,
+            )
+        from kfac_pytorch_tpu.ops.linalg import symeig
+
+        return symeig(x, self.eps)
 
     @staticmethod
     def exclude_parts_flags(exclude_parts: str) -> Dict[str, bool]:
@@ -282,8 +300,8 @@ class KFAC:
                 if cfg.inv_type == EIGEN:
 
                     def inv_update(entry=entry):
-                        dA, QA = lops.symeig(entry["A"], cfg.eps)
-                        dG, QG = lops.symeig(entry["G"], cfg.eps)
+                        dA, QA = cfg.symeig(entry["A"])
+                        dG, QG = cfg.symeig(entry["G"])
                         return dA, QA, dG, QG
 
                     entry["dA"], entry["QA"], entry["dG"], entry["QG"] = jax.lax.cond(

@@ -58,6 +58,36 @@ def bench_symeig(sizes, results):
         print(f"symeig   n={n:5d}  {t*1e3:9.2f} ms  ~{gflops:8.1f} GF/s")
 
 
+def bench_jacobi(sizes, results, batch=8):
+    """Pallas one-sided Jacobi vs XLA QDWH eigh on batched factor buckets."""
+    import jax
+    import jax.numpy as jnp
+    from kfac_pytorch_tpu.ops import linalg as L
+    from kfac_pytorch_tpu.ops.pallas import symeig as psym
+
+    rng = np.random.RandomState(0)
+    for n in sizes:
+        if n > psym.MAX_PALLAS_DIM or n % 256 != 0:
+            continue
+        m = rng.randn(batch, n, n).astype(np.float32)
+        m = m @ m.transpose(0, 2, 1) / n + np.eye(n, dtype=np.float32)
+        m = jnp.asarray(m)
+        fj = jax.jit(lambda x: psym.jacobi_symeig(x, sweeps=10))
+        fx = jax.jit(lambda x: L.symeig(x))
+        tj, tx = _timeit(fj, m), _timeit(fx, m)
+        w, v = fj(m)
+        recon = jnp.einsum("bij,bj,bkj->bik", v, w, v)
+        err = float(jnp.max(jnp.abs(recon - m)) / jnp.max(jnp.abs(m)))
+        results.append(
+            {"op": "jacobi_vs_xla", "n": n, "batch": batch,
+             "jacobi_s": tj, "xla_s": tx, "rel_err": err}
+        )
+        print(
+            f"symeig   [{batch}x{n}]  jacobi {tj*1e3:8.2f} ms | xla "
+            f"{tx*1e3:8.2f} ms | speedup {tx/tj:5.2f}x | err {err:.1e}"
+        )
+
+
 def bench_cholesky(sizes, results):
     import jax
     import jax.numpy as jnp
@@ -146,7 +176,8 @@ def bench_patches(results, batch=32):
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--op", default="all",
-                   choices=["symeig", "cholesky", "gemm", "patches", "all"])
+                   choices=["symeig", "jacobi", "cholesky", "gemm",
+                            "patches", "all"])
     p.add_argument("--sizes", type=int, nargs="+",
                    default=[128, 256, 512, 1024, 2048, 4608])
     p.add_argument("--json", action="store_true")
@@ -160,6 +191,8 @@ def main(argv=None):
     results = []
     if args.op in ("symeig", "all"):
         bench_symeig(args.sizes, results)
+    if args.op in ("jacobi", "all"):
+        bench_jacobi(args.sizes, results)
     if args.op in ("cholesky", "all"):
         bench_cholesky(args.sizes, results)
     if args.op in ("gemm", "all"):
