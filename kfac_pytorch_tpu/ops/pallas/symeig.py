@@ -96,9 +96,12 @@ def _jacobi_kernel(g_ref, vt_ref, w_ref, *, n: int, sweeps: int):
 
     jax.lax.fori_loop(0, sweeps * (n - 1), step, 0)
 
-    # after integer sweeps the seating is back in original order
+    # after integer sweeps the seating is back in original order. The w
+    # output carries 8 identical rows (TPU blocks need sublane dim >= 8);
+    # the wrapper reads row 0.
     g_fin = g_ref[0]
-    w_ref[0, :] = jnp.sum(g_fin * g_fin, axis=1)
+    w = jnp.sum(g_fin * g_fin, axis=1)
+    w_ref[0, :, :] = jnp.broadcast_to(w[None, :], (8, n))
 
 
 def _jacobi_from_chol(l_batched: jax.Array, sweeps: int):
@@ -119,11 +122,12 @@ def _jacobi_from_chol(l_batched: jax.Array, sweeps: int):
         out_specs=(
             pl.BlockSpec((1, n, n), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, n, n), jnp.float32),
-            jax.ShapeDtypeStruct((b, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, 8, n), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(vmem_bytes, 128 * 1024 * 1024)
@@ -134,7 +138,7 @@ def _jacobi_from_chol(l_batched: jax.Array, sweeps: int):
             transcendentals=sweeps * (n - 1) * n,
         ),
     )(l_batched)
-    return w, vt
+    return w[:, 0, :], vt
 
 
 def jacobi_symeig(

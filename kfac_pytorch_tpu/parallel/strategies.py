@@ -243,29 +243,45 @@ class BlockKFAC:
                 real_da = jax.lax.dynamic_slice_in_dim(real_da, offset, blk)
                 real_dg = jax.lax.dynamic_slice_in_dim(real_dg, offset, blk)
 
-            # ---- (1) factors (unconditional compute, where-masked EMA)
+            # ---- (1) factors. dp has no factor collective, so the whole
+            # compute is lax.cond-gated (skipped at TCov-amortized steps);
+            # mpd's pmean must stay outside data-dependent control flow, so
+            # it computes unconditionally and where-masks the EMA.
             if not cfg.exclude_compute_factor:
-                fresh_a, fresh_g = self._fresh_bucket_factors(bucket, acts, gs)
-                if (
+                has_comm = (
                     axis is not None
                     and cfg.strategy == "mpd"
                     and not cfg.exclude_communicate_factor
-                ):
-                    fresh_a = jax.lax.pmean(fresh_a, axis)
-                    fresh_g = jax.lax.pmean(fresh_g, axis)
-                if axis is not None:
-                    fresh_a = jax.lax.dynamic_slice_in_dim(fresh_a, offset, blk)
-                    fresh_g = jax.lax.dynamic_slice_in_dim(fresh_g, offset, blk)
-                entry["A"] = jnp.where(
-                    do_fac,
-                    fops.ema_update(fresh_a, st["A"], cfg.factor_decay),
-                    st["A"],
                 )
-                entry["G"] = jnp.where(
-                    do_fac,
-                    fops.ema_update(fresh_g, st["G"], cfg.factor_decay),
-                    st["G"],
-                )
+
+                def fac_update(st=st, bucket=bucket, offset=offset, blk=blk,
+                               has_comm=has_comm):
+                    fresh_a, fresh_g = self._fresh_bucket_factors(
+                        bucket, acts, gs
+                    )
+                    if has_comm:
+                        fresh_a = jax.lax.pmean(fresh_a, axis)
+                        fresh_g = jax.lax.pmean(fresh_g, axis)
+                    if axis is not None:
+                        fresh_a = jax.lax.dynamic_slice_in_dim(
+                            fresh_a, offset, blk
+                        )
+                        fresh_g = jax.lax.dynamic_slice_in_dim(
+                            fresh_g, offset, blk
+                        )
+                    return (
+                        fops.ema_update(fresh_a, st["A"], cfg.factor_decay),
+                        fops.ema_update(fresh_g, st["G"], cfg.factor_decay),
+                    )
+
+                if has_comm:
+                    a_new, g_new = fac_update()
+                    entry["A"] = jnp.where(do_fac, a_new, st["A"])
+                    entry["G"] = jnp.where(do_fac, g_new, st["G"])
+                else:
+                    entry["A"], entry["G"] = jax.lax.cond(
+                        do_fac, fac_update, lambda: (st["A"], st["G"])
+                    )
 
             # ---- (2) inverse / eigendecomposition (cond-gated, local)
             if not cfg.exclude_compute_inverse:
