@@ -52,6 +52,11 @@ kfac_mappers = {
     "eigen": _builder("eigen", "mpd"),
     "inverse_dp": _builder("inverse", "dp"),
     "eigen_dp": _builder("eigen", "dp"),
+    # TPU-native additions: the eigen-variant update computed as an exact
+    # damped Kronecker solve by batched PCG (no eigendecomposition at all;
+    # Cholesky + MXU matmuls only)
+    "pcg": _builder("pcg", "mpd"),
+    "pcg_dp": _builder("pcg", "dp"),
 }
 
 

@@ -2,17 +2,17 @@
 
 The native-kernel replacement for the reference's cuSOLVER symeig
 (/root/reference/packages/tcmm/src/tcmm_kernel.cu:56-116, tcmm_symeig) and
-the performance-critical stage of eigen K-FAC. XLA's QDWH ``eigh`` on TPU
-costs ~0.13s @ 2048 / ~0.95s @ 4608 per matrix and compiles for minutes over
-a remote-compile link; this kernel targets the many-medium-matrix regime of
-K-FAC factor buckets.
+the performance-critical stage of eigen K-FAC. XLA's QDWH ``eigh`` on a v5e
+costs ~10ms @ 512 / ~34ms @ 1024 / ~123ms @ 2048 / ~955ms @ 4608 per
+matrix; this kernel wins in the many-small-matrix regime of K-FAC factor
+buckets (measured 1.9x at 512 single, 1.7x batched 8x512).
 
 Algorithm: for SPD A, shift + Cholesky A + dI = L L^T (XLA, cheap), then
 **one-sided Jacobi** on G = L^T: right rotations V orthogonalize column
 pairs of G, giving A = V diag(w) V^T with w = squared column norms and d
 subtracted exactly (the shift only translates the spectrum). Everything is
-stored TRANSPOSED (rows of the kernel state are columns of G), so the
-kernel does only sublane-dimension row operations — no transposes, no lane
+stored TRANSPOSED (sublane rows of the kernel state are columns of G), so
+the kernel does only sublane-dimension ops — no transposes, no lane
 shuffles:
 
   * pairs are aligned rows of the top/bottom half of the state,
@@ -21,11 +21,10 @@ shuffles:
   * the Brent-Luk round-robin tournament is a static slice+concat row
     rotation with order n-1, so after every full sweep rows return to their
     original positions (outputs need no unscrambling, and identity padding
-    stays separated in the trailing rows).
-
+    stays separated in the trailing rows),
 Requirements: n divisible by 256 (``symeig_auto`` pads via identity
-embedding); VMEM residency limits n <= ~1024. ``symeig_auto`` dispatches
-Pallas vs XLA eigh by size.
+embedding); one matrix per program (measured faster than in-program
+batching). ``symeig_auto`` dispatches Pallas vs XLA eigh by size.
 """
 
 from __future__ import annotations
@@ -38,33 +37,42 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-MAX_PALLAS_DIM = 1024
+# Measured on v5e: Jacobi beats XLA QDWH up to ~512 (1.9x single, 1.7x
+# batched); at 1024 XLA wins (0.8x). In-program batching (inner > 1) was
+# measured SLOWER than one-matrix-per-program (VMEM pressure outweighs loop
+# amortization), so inner stays 1.
+MAX_PALLAS_DIM = 512
 
 
-def _jacobi_kernel(g_ref, vt_ref, w_ref, *, n: int, sweeps: int):
-    """One program = one matrix.
+def _inner_batch_for(n: int) -> int:
+    return 1
 
-    g_ref (in/out-of-place state): (1, n, n), rows = columns of G.
-    vt_ref: (1, n, n) output, row i = eigenvector of w_ref[0, i].
+
+def _jacobi_kernel(g_ref, vt_ref, w_ref, *, n: int, sweeps: int, inner: int):
+    """One program = ``inner`` matrices.
+
+    g_ref (state, mutated in place): (inner, n, n), rows = columns of G.
+    vt_ref: (inner, n, n) output, row i = eigenvector of w_ref[:, 0, i].
+    w_ref: (inner, 8, n) output (8 identical sublane rows; wrapper reads 0).
     """
     n2 = n // 2
 
     # init V^T = I (rows 0..n2-1 in the top half, n2..n-1 in the bottom)
-    row = jax.lax.broadcasted_iota(jnp.int32, (n2, n), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (n2, n), 1)
-    vt_ref[0, 0:n2, :] = (col == row).astype(jnp.float32)
-    vt_ref[0, n2:n, :] = (col == row + n2).astype(jnp.float32)
+    row = jax.lax.broadcasted_iota(jnp.int32, (inner, n2, n), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (inner, n2, n), 2)
+    vt_ref[:, 0:n2, :] = (col == row).astype(jnp.float32)
+    vt_ref[:, n2:n, :] = (col == row + n2).astype(jnp.float32)
 
     def step(_, carry):
         del carry
-        t_g = g_ref[0, 0:n2, :]
-        b_g = g_ref[0, n2:n, :]
-        t_v = vt_ref[0, 0:n2, :]
-        b_v = vt_ref[0, n2:n, :]
+        t_g = g_ref[:, 0:n2, :]
+        b_g = g_ref[:, n2:n, :]
+        t_v = vt_ref[:, 0:n2, :]
+        b_v = vt_ref[:, n2:n, :]
         # pair Gram entries (lane reductions); pairs are (top[i], bot[i])
-        bpp = jnp.sum(t_g * t_g, axis=1, keepdims=True)
-        bqq = jnp.sum(b_g * b_g, axis=1, keepdims=True)
-        bpq = jnp.sum(t_g * b_g, axis=1, keepdims=True)
+        bpp = jnp.sum(t_g * t_g, axis=2, keepdims=True)
+        bqq = jnp.sum(b_g * b_g, axis=2, keepdims=True)
+        bpq = jnp.sum(t_g * b_g, axis=2, keepdims=True)
         # Jacobi rotation zeroing this pair's Gram off-diagonal
         small = jnp.abs(bpq) < 1e-30
         safe_bpq = jnp.where(small, 1.0, bpq)
@@ -80,28 +88,26 @@ def _jacobi_kernel(g_ref, vt_ref, w_ref, *, n: int, sweeps: int):
         new_b_v = s * t_v + c * b_v
         # Brent-Luk tournament rotation (static slices; order n-1):
         #   top <- [top[0], bot[0], top[1:-1]];  bot <- [bot[1:], top[-1]]
-        g_ref[0, 0:n2, :] = jnp.concatenate(
-            [new_t_g[0:1], new_b_g[0:1], new_t_g[1 : n2 - 1]], axis=0
+        g_ref[:, 0:n2, :] = jnp.concatenate(
+            [new_t_g[:, 0:1], new_b_g[:, 0:1], new_t_g[:, 1 : n2 - 1]], axis=1
         )
-        g_ref[0, n2:n, :] = jnp.concatenate(
-            [new_b_g[1:n2], new_t_g[n2 - 1 : n2]], axis=0
+        g_ref[:, n2:n, :] = jnp.concatenate(
+            [new_b_g[:, 1:n2], new_t_g[:, n2 - 1 : n2]], axis=1
         )
-        vt_ref[0, 0:n2, :] = jnp.concatenate(
-            [new_t_v[0:1], new_b_v[0:1], new_t_v[1 : n2 - 1]], axis=0
+        vt_ref[:, 0:n2, :] = jnp.concatenate(
+            [new_t_v[:, 0:1], new_b_v[:, 0:1], new_t_v[:, 1 : n2 - 1]], axis=1
         )
-        vt_ref[0, n2:n, :] = jnp.concatenate(
-            [new_b_v[1:n2], new_t_v[n2 - 1 : n2]], axis=0
+        vt_ref[:, n2:n, :] = jnp.concatenate(
+            [new_b_v[:, 1:n2], new_t_v[:, n2 - 1 : n2]], axis=1
         )
         return 0
 
     jax.lax.fori_loop(0, sweeps * (n - 1), step, 0)
 
-    # after integer sweeps the seating is back in original order. The w
-    # output carries 8 identical rows (TPU blocks need sublane dim >= 8);
-    # the wrapper reads row 0.
-    g_fin = g_ref[0]
-    w = jnp.sum(g_fin * g_fin, axis=1)
-    w_ref[0, :, :] = jnp.broadcast_to(w[None, :], (8, n))
+    # after integer sweeps the seating is back in original order
+    g_fin = g_ref[...]
+    w = jnp.sum(g_fin * g_fin, axis=2)  # (inner, n)
+    w_ref[...] = jnp.broadcast_to(w[:, None, :], (inner, 8, n))
 
 
 def _jacobi_from_chol(l_batched: jax.Array, sweeps: int):
@@ -110,35 +116,41 @@ def _jacobi_from_chol(l_batched: jax.Array, sweeps: int):
     Rows of the state are columns of G = L^T, i.e. the state IS L's rows.
     """
     b, n, _ = l_batched.shape
-    kernel = functools.partial(_jacobi_kernel, n=n, sweeps=sweeps)
-    vmem_bytes = 4 * n * n * 2 + 4 * n + (1 << 20)
+    inner = _inner_batch_for(n)
+    b_pad = ((b + inner - 1) // inner) * inner
+    if b_pad != b:
+        pad = jnp.broadcast_to(jnp.eye(n), (b_pad - b, n, n))
+        l_batched = jnp.concatenate([l_batched, pad], axis=0)
+    kernel = functools.partial(
+        _jacobi_kernel, n=n, sweeps=sweeps, inner=inner
+    )
     vt, w = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b_pad // inner,),
         in_specs=[
-            pl.BlockSpec((1, n, n), lambda i: (i, 0, 0),
+            pl.BlockSpec((inner, n, n), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
         ],
         out_specs=(
-            pl.BlockSpec((1, n, n), lambda i: (i, 0, 0),
+            pl.BlockSpec((inner, n, n), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, n), lambda i: (i, 0, 0),
+            pl.BlockSpec((inner, 8, n), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, n, n), jnp.float32),
-            jax.ShapeDtypeStruct((b, 8, n), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, n, n), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, 8, n), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(vmem_bytes, 128 * 1024 * 1024)
+            vmem_limit_bytes=128 * 1024 * 1024
         ),
         cost_estimate=pl.CostEstimate(
-            flops=sweeps * (n - 1) * 7 * n * n,
-            bytes_accessed=b * n * n * 8,
-            transcendentals=sweeps * (n - 1) * n,
+            flops=b_pad * sweeps * (n - 1) * 7 * n,
+            bytes_accessed=b_pad * n * n * 8,
+            transcendentals=b_pad * sweeps * (n - 1) * n,
         ),
     )(l_batched)
-    return w[:, 0, :], vt
+    return w[:b, 0, :], vt[:b]
 
 
 def jacobi_symeig(

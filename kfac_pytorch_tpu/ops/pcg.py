@@ -1,0 +1,118 @@
+"""Damped Kronecker solve via preconditioned conjugate gradient (MXU-only).
+
+The eigen K-FAC update is the exact solve (G (x) A + lambda I) v = grad
+(reference kfac_preconditioner_eigen.py:137-144 computes it via two
+eigendecompositions). On TPU, eigh is the bottleneck (~1s at dim 4608 on a
+v5e) while Cholesky and matmuls are nearly free; this module computes the
+same solve iteratively:
+
+  * operator application  Op(V) = G V A + lambda V      (two MXU matmuls)
+  * split preconditioner  M = (G + sqrt(l)/pi I) (x) (A + sqrt(l) pi I)
+    — the explicit-inverse variant's approximation (inv.py:121-128) —
+    applied via cached Cholesky factors (four triangular solves)
+  * a fixed number of batched PCG iterations (each layer runs its own CG;
+    everything is batched over the bucket's stacked-layer axis)
+
+With 8-16 iterations this matches the eigen update to ~1e-4..1e-6 relative
+accuracy at a tiny fraction of the eigh cost, and the only factorization
+work at TInv steps is two batched Choleskys.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from kfac_pytorch_tpu.ops import linalg as lops
+
+
+def damped_cholesky_factors(
+    a: jax.Array, g: jax.Array, damping, real_da=None, real_dg=None
+) -> Tuple[jax.Array, jax.Array]:
+    """Cholesky factors of the pi-split damped factors (batched).
+
+    a: (..., da, da), g: (..., dg, dg). real_da/real_dg correct the traces
+    for identity padding (see parallel/strategies.py).
+    Returns (La, Lg) lower-triangular.
+    """
+    da, dg = a.shape[-1], g.shape[-1]
+    if real_da is None:
+        tr_a = jnp.trace(a, axis1=-2, axis2=-1) / da
+        tr_g = jnp.trace(g, axis1=-2, axis2=-1) / dg
+    else:
+        tr_a = (jnp.trace(a, axis1=-2, axis2=-1) - (da - real_da)) / real_da
+        tr_g = (jnp.trace(g, axis1=-2, axis2=-1) - (dg - real_dg)) / real_dg
+    pi = jnp.sqrt(tr_a / tr_g)
+    sd = jnp.sqrt(damping)
+    shift_a = (sd * pi)[..., None, None] * jnp.eye(da, dtype=a.dtype)
+    shift_g = (sd / pi)[..., None, None] * jnp.eye(dg, dtype=g.dtype)
+    la = jnp.linalg.cholesky(a + shift_a)
+    lg = jnp.linalg.cholesky(g + shift_g)
+    return la, lg
+
+
+def _cho_solve_left(l: jax.Array, b: jax.Array) -> jax.Array:
+    """(L L^T)^-1 @ b for batched lower-triangular l."""
+    y = jax.scipy.linalg.solve_triangular(l, b, lower=True)
+    return jax.scipy.linalg.solve_triangular(
+        l, y, lower=True, trans="T"
+    )
+
+
+def _cho_solve_right(l: jax.Array, b: jax.Array) -> jax.Array:
+    """b @ (L L^T)^-1 for batched lower-triangular l."""
+    bt = jnp.swapaxes(b, -2, -1)
+    return jnp.swapaxes(_cho_solve_left(l, bt), -2, -1)
+
+
+def pcg_kron_solve(
+    grad2d: jax.Array,
+    a: jax.Array,
+    g: jax.Array,
+    la: jax.Array,
+    lg: jax.Array,
+    damping,
+    *,
+    iters: int = 12,
+    precision=None,
+) -> jax.Array:
+    """Solve (G (x) A + damping I) v = grad2d by batched PCG.
+
+    grad2d: (..., dg, da); a/la: (..., da, da); g/lg: (..., dg, dg).
+    """
+    mm = lambda x, y: jnp.matmul(x, y, precision=precision)
+
+    def op(v):
+        return mm(mm(g, v), a) + damping * v
+
+    def prec(r):
+        return _cho_solve_right(la, _cho_solve_left(lg, r))
+
+    def dot(x, y):
+        return jnp.sum(
+            x * y, axis=(-2, -1), keepdims=True
+        )  # (..., 1, 1) per layer
+
+    x = jnp.zeros_like(grad2d)
+    r = grad2d
+    z = prec(r)
+    p = z
+    rz = dot(r, z)
+
+    def body(i, carry):
+        x, r, p, rz = carry
+        op_p = op(p)
+        denom = dot(p, op_p)
+        alpha = rz / jnp.where(jnp.abs(denom) < 1e-30, 1.0, denom)
+        x = x + alpha * p
+        r = r - alpha * op_p
+        z = prec(r)
+        rz_new = dot(r, z)
+        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1.0, rz)
+        p = z + beta * p
+        return x, r, p, rz_new
+
+    x, r, p, rz = jax.lax.fori_loop(0, iters, body, (x, r, p, rz))
+    return x

@@ -48,8 +48,10 @@ from kfac_pytorch_tpu.ops import factors as fops
 from kfac_pytorch_tpu.ops import linalg as lops
 from kfac_pytorch_tpu.ops import precond as pops
 from kfac_pytorch_tpu.parallel.partition import Bucket, make_buckets
+from kfac_pytorch_tpu.ops import pcg as pcg_ops
 from kfac_pytorch_tpu.preconditioner import (
     EIGEN,
+    PCG,
     KFACConfig,
     _get_path,
     compute_factor_a,
@@ -128,6 +130,11 @@ class BlockKFAC:
                     QA=jnp.zeros((L, da, da)),
                     dG=jnp.zeros((L, dg)),
                     QG=jnp.zeros((L, dg, dg)),
+                )
+            elif self.config.inv_type == PCG:
+                entry.update(
+                    cholA=jnp.broadcast_to(jnp.eye(da), (L, da, da)),
+                    cholG=jnp.broadcast_to(jnp.eye(dg), (L, dg, dg)),
                 )
             else:
                 entry.update(
@@ -299,6 +306,19 @@ class BlockKFAC:
                             lambda: (st["dA"], st["QA"], st["dG"], st["QG"]),
                         )
                     )
+                elif cfg.inv_type == PCG:
+
+                    def inv_update(entry=entry, real_da=real_da,
+                                   real_dg=real_dg):
+                        return pcg_ops.damped_cholesky_factors(
+                            entry["A"], entry["G"], damping,
+                            real_da=real_da, real_dg=real_dg,
+                        )
+
+                    entry["cholA"], entry["cholG"] = jax.lax.cond(
+                        do_inv, inv_update,
+                        lambda: (st["cholA"], st["cholG"]),
+                    )
                 else:
 
                     def inv_update(entry=entry, real_da=real_da, real_dg=real_dg):
@@ -343,6 +363,12 @@ class BlockKFAC:
                         entry["QG"],
                         entry["dG"],
                         damping,
+                        precision=cfg.precision,
+                    )
+                elif cfg.inv_type == PCG:
+                    v_my = pcg_ops.pcg_kron_solve(
+                        g2d_my, entry["A"], entry["G"], entry["cholA"],
+                        entry["cholG"], damping, iters=cfg.pcg_iters,
                         precision=cfg.precision,
                     )
                 else:

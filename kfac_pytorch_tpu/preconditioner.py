@@ -38,10 +38,12 @@ from kfac_pytorch_tpu import capture
 from kfac_pytorch_tpu.capture import CONV, DENSE, LayerSpec
 from kfac_pytorch_tpu.ops import factors as fops
 from kfac_pytorch_tpu.ops import linalg as lops
+from kfac_pytorch_tpu.ops import pcg as pcg_ops
 from kfac_pytorch_tpu.ops import precond as pops
 
 EIGEN = "eigen"
 INVERSE = "inverse"
+PCG = "pcg"  # eigen-equivalent damped Kronecker solve via batched PCG
 
 
 # --------------------------------------------------------------------------
@@ -144,7 +146,9 @@ class KFACConfig:
     # equivalent, ops/pallas/symeig.py)
     symeig_impl: str = "xla"
     jacobi_sweeps: int = 10
-    jacobi_max_dim: int = 1024
+    jacobi_max_dim: int = 512
+    # 'pcg' inv_type: CG iterations for the damped Kronecker solve
+    pcg_iters: int = 12
 
     def symeig(self, x):
         if self.symeig_impl == "jacobi":
@@ -181,7 +185,7 @@ class KFAC:
     """
 
     def __init__(self, specs: Sequence[LayerSpec], config: KFACConfig = KFACConfig()):
-        if config.inv_type not in (EIGEN, INVERSE):
+        if config.inv_type not in (EIGEN, INVERSE, PCG):
             raise ValueError(f"unknown inv_type: {config.inv_type}")
         self.specs = tuple(specs)
         self.config = config
@@ -204,6 +208,11 @@ class KFAC:
                     QA=jnp.zeros((da, da), jnp.float32),
                     dG=jnp.zeros((dg,), jnp.float32),
                     QG=jnp.zeros((dg, dg), jnp.float32),
+                )
+            elif self.config.inv_type == PCG:
+                entry.update(
+                    cholA=jnp.broadcast_to(jnp.eye(da), (da, da)),
+                    cholG=jnp.broadcast_to(jnp.eye(dg), (dg, dg)),
                 )
             else:
                 entry.update(
@@ -309,6 +318,17 @@ class KFAC:
                         inv_update,
                         lambda: (st["dA"], st["QA"], st["dG"], st["QG"]),
                     )
+                elif cfg.inv_type == PCG:
+
+                    def inv_update(entry=entry):
+                        return pcg_ops.damped_cholesky_factors(
+                            entry["A"], entry["G"], damping
+                        )
+
+                    entry["cholA"], entry["cholG"] = jax.lax.cond(
+                        do_inv, inv_update,
+                        lambda: (st["cholA"], st["cholG"]),
+                    )
                 else:
 
                     def inv_update(entry=entry):
@@ -336,6 +356,12 @@ class KFAC:
                         entry["QG"],
                         entry["dG"],
                         damping,
+                        precision=cfg.precision,
+                    )
+                elif cfg.inv_type == PCG:
+                    v = pcg_ops.pcg_kron_solve(
+                        g2d, entry["A"], entry["G"], entry["cholA"],
+                        entry["cholG"], damping, iters=cfg.pcg_iters,
                         precision=cfg.precision,
                     )
                 else:

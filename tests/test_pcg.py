@@ -1,0 +1,153 @@
+"""Tests for the PCG damped-Kronecker-solve variant ('pcg' inv_type)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import optax
+
+import kfac_pytorch_tpu as ktpu
+from kfac_pytorch_tpu.ops import linalg as L
+from kfac_pytorch_tpu.ops import pcg as P
+from kfac_pytorch_tpu.ops import precond as PR
+from kfac_pytorch_tpu.parallel.strategies import BlockKFAC
+from kfac_pytorch_tpu.preconditioner import KFAC, KFACConfig
+from kfac_pytorch_tpu.training.loop import KFACScalars, TrainState, make_train_step
+
+
+def _spd(rng, n, scale=1.0):
+    m = rng.randn(n, n).astype(np.float32)
+    return (m @ m.T / n) * scale + 0.1 * np.eye(n, dtype=np.float32)
+
+
+def test_pcg_solve_matches_eigen_solve():
+    """PCG must converge to the exact eigen-variant update
+    QG[(QG^T D QA)/(dG dA^T + lam)]QA^T."""
+    rng = np.random.RandomState(0)
+    na, ng, lam = 96, 64, 0.03
+    A = jnp.asarray(_spd(rng, na))
+    G = jnp.asarray(_spd(rng, ng))
+    D = jnp.asarray(rng.randn(ng, na).astype(np.float32))
+
+    dA, QA = L.symeig(A)
+    dG, QG = L.symeig(G)
+    want = np.asarray(PR.precond_eigen(D, QA, dA, QG, dG, lam))
+
+    la, lg = P.damped_cholesky_factors(A, G, lam)
+    got = np.asarray(P.pcg_kron_solve(D, A, G, la, lg, lam, iters=20))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-4)
+    # residual check: (G v A + lam v) == D
+    v = jnp.asarray(got)
+    res = np.asarray(G @ v @ A + lam * v - D)
+    assert np.abs(res).max() / np.abs(np.asarray(D)).max() < 1e-3
+
+
+def test_pcg_solve_batched_with_padding():
+    """Batched rows with identity padding and per-row real dims."""
+    rng = np.random.RandomState(1)
+    na, ng = 64, 48
+    pad_a, pad_g = 80, 64
+    A = np.stack([np.eye(pad_a, dtype=np.float32)] * 3)
+    G = np.stack([np.eye(pad_g, dtype=np.float32)] * 3)
+    D = np.zeros((3, pad_g, pad_a), np.float32)
+    for i in range(3):
+        A[i, :na, :na] = _spd(rng, na)
+        G[i, :ng, :ng] = _spd(rng, ng)
+        D[i, :ng, :na] = rng.randn(ng, na)
+    A, G, D = map(jnp.asarray, (A, G, D))
+    real_da = jnp.full((3,), na, jnp.float32)
+    real_dg = jnp.full((3,), ng, jnp.float32)
+    la, lg = P.damped_cholesky_factors(A, G, 0.03, real_da, real_dg)
+    v = np.asarray(P.pcg_kron_solve(D, A, G, la, lg, 0.03, iters=20))
+    # pad region stays exactly zero
+    assert np.abs(v[:, ng:, :]).max() == 0.0
+    assert np.abs(v[:, :, na:]).max() == 0.0
+    # real region solves the equation
+    for i in range(3):
+        Ai, Gi = np.asarray(A[i, :na, :na]), np.asarray(G[i, :ng, :ng])
+        vi = v[i, :ng, :na]
+        res = Gi @ vi @ Ai + 0.03 * vi - np.asarray(D[i, :ng, :na])
+        assert np.abs(res).max() / np.abs(D[i]).max() < 1e-3
+
+
+class Net(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        x = ktpu.KFACConv(8, (3, 3), name="conv")(x)
+        x = nn.relu(x).reshape(x.shape[0], -1)
+        x = ktpu.KFACDense(16, name="fc1")(x)
+        return ktpu.KFACDense(5, name="fc2")(jnp.tanh(x))
+
+
+def test_pcg_variant_matches_eigen_variant_end_to_end():
+    """pcg_dp preconditioned grads ~= eigen_dp preconditioned grads (both
+    per-layer KFAC and bucketed BlockKFAC)."""
+    rng = np.random.RandomState(2)
+    model = Net()
+    x = jnp.asarray(rng.randn(16, 8, 8, 3).astype(np.float32))
+    y = jnp.asarray(rng.randint(0, 5, 16))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    specs, perturbs = ktpu.setup_kfac(model, {"params": params}, x)
+
+    def capture(params):
+        def loss_fn(p, pert):
+            out, muts = model.apply(
+                {"params": p, ktpu.COL_G: pert}, x, mutable=[ktpu.COL_A]
+            )
+            oh = jax.nn.one_hot(y, 5)
+            return -jnp.mean(jnp.sum(oh * jax.nn.log_softmax(out), -1)), muts[
+                ktpu.COL_A
+            ]
+
+        (_, acts), (grads, gs) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(params, perturbs)
+        return acts, grads, gs
+
+    acts, grads, gs = capture(params)
+    kw = dict(damping=0.03, kl_clip=0.001)
+    eig = KFAC(specs, KFACConfig(inv_type="eigen", **kw))
+    pcg = KFAC(specs, KFACConfig(inv_type="pcg", pcg_iters=25, **kw))
+    out_e, _ = eig.step(eig.init_state(), grads, acts, gs, lr=0.1)
+    out_p, _ = pcg.step(pcg.init_state(), grads, acts, gs, lr=0.1)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-4
+        ),
+        out_e,
+        out_p,
+    )
+
+    blk = BlockKFAC(specs, KFACConfig(inv_type="pcg", pcg_iters=25, **kw))
+    out_b, _ = jax.jit(lambda s, g, a, p: blk.step(s, g, a, p, lr=0.1))(
+        blk.init_state(), grads, acts, gs
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-4
+        ),
+        out_e,
+        out_b,
+    )
+
+
+def test_pcg_registry_and_training():
+    assert "pcg_dp" in ktpu.kfac_mappers
+    rng = np.random.RandomState(3)
+    model = Net()
+    x = jnp.asarray(rng.randn(16, 8, 8, 3).astype(np.float32))
+    y = jnp.asarray(rng.randint(0, 5, 16))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    specs, perturbs = ktpu.setup_kfac(model, {"params": params}, x)
+    kfac = ktpu.get_kfac_module("pcg_dp")(specs, damping=0.03)
+    tx = optax.sgd(0.05, momentum=0.9)
+    st = TrainState(params=params, opt_state=tx.init(params),
+                    kfac_state=kfac.init_state(), model_state={})
+    step = jax.jit(make_train_step(model, tx, kfac, perturb_template=perturbs))
+    scalars = KFACScalars.create(0.05, 0.03)
+    losses = []
+    for _ in range(8):
+        st, m = step(st, (x, y), scalars)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
