@@ -72,6 +72,8 @@ def parse_args(argv=None):
     p.add_argument("--kfac-update-freq-schedule", type=float, nargs="*",
                    default=None)
     p.add_argument("--exclude-parts", default="")
+    p.add_argument("--kfac-type", default="Femp", choices=["Femp", "F1mc"],
+                   help="empirical Fisher vs true-Fisher MC sampling")
     # harness
     p.add_argument("--data-path", default=None)
     p.add_argument("--synthetic", action="store_true")
@@ -153,6 +155,7 @@ def main(argv=None):
             label_smoothing=args.label_smoothing,
             perturb_template=perturbs,
             train_kwargs={"train": True},
+            fisher_type=args.kfac_type,
         )
     )
     eval_step = jax.jit(make_eval_step(model))
@@ -187,7 +190,11 @@ def main(argv=None):
             if args.profile_dir and global_step == 5:
                 jax.profiler.start_trace(args.profile_dir)
             timers.start("step")
-            state, m = train_step(state, batch, scalars)
+            step_rng = (
+                jax.random.fold_in(rng, global_step)
+                if args.kfac_type == "F1mc" else None
+            )
+            state, m = train_step(state, batch, scalars, step_rng)
             timers.stop("step", m["loss"])
             if args.profile_dir and global_step == 10:
                 jax.profiler.stop_trace()

@@ -7,6 +7,7 @@ pytorch_cifar10_resnet.py:200-217, pytorch_imagenet_resnet.py:235-258)::
 """
 
 from kfac_pytorch_tpu.models import (
+    densenet,
     resnet_cifar,
     resnet_imagenet,
     rnn_lm,
@@ -33,6 +34,10 @@ _REGISTRY = {
     "vgg13": vgg.vgg13,
     "vgg16": vgg.vgg16,
     "vgg19": vgg.vgg19,
+    # DenseNets
+    "densenet121": densenet.densenet121,
+    "densenet169": densenet.densenet169,
+    "densenet201": densenet.densenet201,
     # ImageNet ResNets
     "imagenet-resnet18": resnet_imagenet.resnet18,
     "imagenet-resnet34": resnet_imagenet.resnet34,

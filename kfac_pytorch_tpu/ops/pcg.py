@@ -31,11 +31,16 @@ from kfac_pytorch_tpu.ops import linalg as lops
 def damped_cholesky_factors(
     a: jax.Array, g: jax.Array, damping, real_da=None, real_dg=None
 ) -> Tuple[jax.Array, jax.Array]:
-    """Cholesky factors of the pi-split damped factors (batched).
+    """Explicit inverses of the pi-split damped factors (batched).
 
     a: (..., da, da), g: (..., dg, dg). real_da/real_dg correct the traces
     for identity padding (see parallel/strategies.py).
-    Returns (La, Lg) lower-triangular.
+
+    Returns DENSE INVERSES (invA, invG), not triangular factors: applying
+    the preconditioner then costs two MXU matmuls per PCG iteration instead
+    of four triangular solves — triangular solves are sequential and slow on
+    TPU, and the inversion itself is amortized over the TInv update period.
+    (Name kept for API continuity.)
     """
     da, dg = a.shape[-1], g.shape[-1]
     if real_da is None:
@@ -48,23 +53,9 @@ def damped_cholesky_factors(
     sd = jnp.sqrt(damping)
     shift_a = (sd * pi)[..., None, None] * jnp.eye(da, dtype=a.dtype)
     shift_g = (sd / pi)[..., None, None] * jnp.eye(dg, dtype=g.dtype)
-    la = jnp.linalg.cholesky(a + shift_a)
-    lg = jnp.linalg.cholesky(g + shift_g)
-    return la, lg
-
-
-def _cho_solve_left(l: jax.Array, b: jax.Array) -> jax.Array:
-    """(L L^T)^-1 @ b for batched lower-triangular l."""
-    y = jax.scipy.linalg.solve_triangular(l, b, lower=True)
-    return jax.scipy.linalg.solve_triangular(
-        l, y, lower=True, trans="T"
-    )
-
-
-def _cho_solve_right(l: jax.Array, b: jax.Array) -> jax.Array:
-    """b @ (L L^T)^-1 for batched lower-triangular l."""
-    bt = jnp.swapaxes(b, -2, -1)
-    return jnp.swapaxes(_cho_solve_left(l, bt), -2, -1)
+    inv_a = lops.cholesky_inverse(a + shift_a)
+    inv_g = lops.cholesky_inverse(g + shift_g)
+    return inv_a, inv_g
 
 
 def pcg_kron_solve(
@@ -80,7 +71,9 @@ def pcg_kron_solve(
 ) -> jax.Array:
     """Solve (G (x) A + damping I) v = grad2d by batched PCG.
 
-    grad2d: (..., dg, da); a/la: (..., da, da); g/lg: (..., dg, dg).
+    grad2d: (..., dg, da); a: (..., da, da); g: (..., dg, dg);
+    la/lg: the cached damped factor INVERSES from damped_cholesky_factors.
+    Each iteration is four MXU matmuls (operator + preconditioner).
     """
     mm = lambda x, y: jnp.matmul(x, y, precision=precision)
 
@@ -88,7 +81,7 @@ def pcg_kron_solve(
         return mm(mm(g, v), a) + damping * v
 
     def prec(r):
-        return _cho_solve_right(la, _cho_solve_left(lg, r))
+        return mm(mm(lg, r), la)
 
     def dot(x, y):
         return jnp.sum(

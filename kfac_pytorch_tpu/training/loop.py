@@ -77,6 +77,7 @@ def make_train_step(
     label_smoothing: float = 0.0,
     perturb_template=None,
     train_kwargs: Optional[Dict[str, Any]] = None,
+    fisher_type: str = "Femp",
 ):
     """Build a jittable train_step.
 
@@ -90,10 +91,19 @@ def make_train_step(
         size) from capture.make_zero_perturbations; required when kfac is
         given.
       train_kwargs: extra kwargs for model.apply (e.g. {'train': True}).
+      fisher_type: 'Femp' (empirical Fisher: cotangents from the real-label
+        loss) or 'F1mc' (true-Fisher Monte Carlo: the G-factor cotangents
+        come from a second backward against labels sampled from the model's
+        own predictive distribution — the reference's --kfac-type flag,
+        pytorch_cifar10_resnet.py:74-75 / examples/utils.py:83-90, which is
+        defined but never wired up there; here it works). F1mc requires an
+        ``rng`` passed to the step.
 
     Returns:
-      train_step(state, batch, scalars) -> (state, metrics)
+      train_step(state, batch, scalars, rng=None) -> (state, metrics)
     """
+    if fisher_type not in ("Femp", "F1mc"):
+        raise ValueError(f"unknown fisher_type {fisher_type}")
     train_kwargs = dict(train_kwargs or {})
     if loss_fn is None:
         loss_fn = lambda logits, labels: softmax_cross_entropy(
@@ -130,7 +140,7 @@ def make_train_step(
         loss = loss_fn(logits, y)
         return loss, (logits, acts, new_model_state)
 
-    def train_step(state: TrainState, batch, scalars: KFACScalars):
+    def train_step(state: TrainState, batch, scalars: KFACScalars, rng=None):
         if kfac is not None:
             perturbs = jax.tree_util.tree_map(
                 lambda s: jnp.zeros(s.shape, s.dtype), perturb_shapes
@@ -138,6 +148,20 @@ def make_train_step(
             (loss, (logits, acts, model_state)), (grads, gs) = jax.value_and_grad(
                 _loss_with_capture, argnums=(0, 1), has_aux=True
             )(state.params, perturbs, state.model_state, batch)
+            if fisher_type == "F1mc":
+                if rng is None:
+                    raise ValueError("fisher_type='F1mc' needs an rng")
+                # true-Fisher MC: resample labels from the model's own
+                # predictive distribution and take the capture cotangents
+                # from that backward instead (params grads stay real-label)
+                pseudo = jax.random.categorical(rng, logits, axis=-1)
+                (_, (_, acts, _)), gs = jax.value_and_grad(
+                    lambda p, pe: _loss_with_capture(
+                        p, pe, state.model_state, (batch[0], pseudo)
+                    ),
+                    argnums=1,
+                    has_aux=True,
+                )(state.params, perturbs)
             precond_grads, kfac_state = kfac.step(
                 state.kfac_state,
                 grads,

@@ -27,6 +27,7 @@ def _specs_for(model, variables, x, **kw):
         ("resnet32", 32),
         ("vgg11", 9),       # 8 convs + fc
         ("wrn28-10", 29),   # 25 convs + 3 shortcuts + fc
+        ("densenet121", 121),  # 120 convs + fc
     ],
 )
 def test_layer_registration_counts(name, n_layers):

@@ -296,3 +296,36 @@ def test_train_loop_end_to_end_kfac_beats_sgd():
         f"KFAC should converge at least as fast: {losses_kfac[-1]} vs "
         f"{losses_sgd[-1]}"
     )
+
+
+def test_f1mc_fisher_type():
+    """True-Fisher MC sampling: G factors come from pseudo-label cotangents;
+    the step runs under jit and trains."""
+    rng_np = np.random.RandomState(7)
+    x = jnp.asarray(rng_np.randn(32, 8).astype(np.float32))
+    y = jnp.asarray(rng_np.randint(0, 4, 32))
+    model = MLP()
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    specs, perturbs = ktpu.setup_kfac(model, {"params": params}, x)
+    kfac = KFAC(specs, KFACConfig(damping=0.03))
+    tx = optax.sgd(0.05, momentum=0.9)
+    st = TrainState(params=params, opt_state=tx.init(params),
+                    kfac_state=kfac.init_state(), model_state={})
+    step = jax.jit(
+        make_train_step(model, tx, kfac, perturb_template=perturbs,
+                        fisher_type="F1mc")
+    )
+    scalars = KFACScalars.create(0.05, 0.03)
+    losses = []
+    key = jax.random.PRNGKey(1)
+    for i in range(8):
+        st, m = step(st, (x, y), scalars, jax.random.fold_in(key, i))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+    # missing rng raises
+    with pytest.raises(ValueError):
+        make_train_step(model, tx, kfac, perturb_template=perturbs,
+                        fisher_type="F1mc")(st, (x, y), scalars)
+    with pytest.raises(ValueError):
+        make_train_step(model, tx, kfac, perturb_template=perturbs,
+                        fisher_type="bogus")
