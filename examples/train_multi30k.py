@@ -29,6 +29,7 @@ import optax
 
 import kfac_pytorch_tpu as ktpu
 from kfac_pytorch_tpu.models import Transformer
+from kfac_pytorch_tpu.models.translator import corpus_bleu, greedy_decode
 from kfac_pytorch_tpu.preconditioner import KFACConfig, KFACHypers, KFACParamScheduler
 from kfac_pytorch_tpu.training.loop import KFACScalars, TrainState, make_train_step
 from kfac_pytorch_tpu.utils import lr_schedules
@@ -67,6 +68,8 @@ def parse_args(argv=None):
     p.add_argument("--data-path", default=None)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--iters", type=int, default=None)
+    p.add_argument("--eval-bleu", action="store_true",
+                   help="greedy-decode BLEU on the test split each epoch")
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args(argv)
 
@@ -183,6 +186,16 @@ def main(argv=None):
             global_step += 1
             if args.iters and global_step >= args.iters:
                 break
+        if args.eval_bleu:
+            n_eval = min(len(src_te), 4 * bs)
+            hyps = greedy_decode(
+                model, state.params, jnp.asarray(src_te[:n_eval]),
+                bos=2, eos=3, pad=PAD, max_len=args.seq_len + 2,
+            )
+            bleu = corpus_bleu(
+                np.asarray(hyps)[:, 1:], trg_te[:n_eval, 1:], pad=PAD, eos=3
+            )
+            log.info("epoch %d: BLEU %.4f", epoch, bleu)
         log.info("epoch %d: train loss %.4f token-acc %.4f | lr %.5f",
                  epoch, ep_loss.avg, ep_acc.avg, float(lr_fn(global_step)))
         if args.iters and global_step >= args.iters:

@@ -15,6 +15,7 @@ from kfac_pytorch_tpu.models import (
     vgg,
     wide_resnet,
 )
+from kfac_pytorch_tpu.models import translator
 from kfac_pytorch_tpu.models.rnn_lm import RNNLM
 from kfac_pytorch_tpu.models.transformer import Transformer
 

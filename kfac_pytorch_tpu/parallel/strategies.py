@@ -307,6 +307,9 @@ class BlockKFAC:
                         )
                     )
                 elif cfg.inv_type == PCG:
+                    do_prec = (
+                        step % jnp.maximum(cfg.pcg_precond_freq, 1)
+                    ) == 0
 
                     def inv_update(entry=entry, real_da=real_da,
                                    real_dg=real_dg):
@@ -316,7 +319,7 @@ class BlockKFAC:
                         )
 
                     entry["cholA"], entry["cholG"] = jax.lax.cond(
-                        do_inv, inv_update,
+                        do_prec, inv_update,
                         lambda: (st["cholA"], st["cholG"]),
                     )
                 else:

@@ -147,8 +147,13 @@ class KFACConfig:
     symeig_impl: str = "xla"
     jacobi_sweeps: int = 10
     jacobi_max_dim: int = 512
-    # 'pcg' inv_type: CG iterations for the damped Kronecker solve
-    pcg_iters: int = 12
+    # 'pcg' inv_type: CG iterations for the damped Kronecker solve, and the
+    # refresh period of the CG *preconditioner* (the split damped-factor
+    # inverses). The preconditioner only affects CG convergence speed — not
+    # the solution — so refreshing it less often than every step is exact;
+    # a stale preconditioner just costs a little convergence rate.
+    pcg_iters: int = 8
+    pcg_precond_freq: int = 10
 
     def symeig(self, x):
         if self.symeig_impl == "jacobi":
@@ -319,6 +324,9 @@ class KFAC:
                         lambda: (st["dA"], st["QA"], st["dG"], st["QG"]),
                     )
                 elif cfg.inv_type == PCG:
+                    do_prec = (
+                        step % jnp.maximum(cfg.pcg_precond_freq, 1)
+                    ) == 0
 
                     def inv_update(entry=entry):
                         return pcg_ops.damped_cholesky_factors(
@@ -326,7 +334,7 @@ class KFAC:
                         )
 
                     entry["cholA"], entry["cholG"] = jax.lax.cond(
-                        do_inv, inv_update,
+                        do_prec, inv_update,
                         lambda: (st["cholA"], st["cholG"]),
                     )
                 else:
