@@ -93,11 +93,18 @@ class BlockKFAC:
         specs: Sequence[LayerSpec],
         config: KFACConfig = KFACConfig(),
         world_size: int = 1,
+        dim_align: int = 8,
     ):
+        """dim_align: factor dims are padded up to multiples of this before
+        bucketing; larger values merge more layers into fewer, bigger
+        batched ops (fewer op dispatches, more padding FLOPs — identity
+        padding keeps the math exact either way)."""
         self.specs = tuple(specs)
         self.config = config
         self.world_size = world_size
-        self.buckets: List[Bucket] = make_buckets(specs, world_size)
+        self.buckets: List[Bucket] = make_buckets(
+            specs, world_size, dim_align=dim_align
+        )
         # per-bucket static row metadata: real dims for trace corrections
         self._real_da = [
             np.array(

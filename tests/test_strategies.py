@@ -208,3 +208,17 @@ def test_sharded_sgd_control_arm():
         state, m = step_fn(state, data, scalars)
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0]
+
+
+def test_multihost_utils_single_process():
+    from kfac_pytorch_tpu.parallel.multihost import (
+        is_primary, local_batch_slice, make_global_batch,
+    )
+
+    mesh = meshlib.make_mesh(8)
+    x = np.random.randn(16, 4).astype(np.float32)
+    g = make_global_batch(mesh, jnp.asarray(x))
+    assert g.shape == (16, 4)
+    assert "data" in str(g.sharding.spec)
+    assert is_primary()
+    assert local_batch_slice(128) == (0, 128)
