@@ -32,6 +32,9 @@ import optax
 
 import kfac_pytorch_tpu as ktpu
 from kfac_pytorch_tpu.models import get_model
+from kfac_pytorch_tpu.parallel import mesh as meshlib
+from kfac_pytorch_tpu.parallel.strategies import BlockKFAC
+from kfac_pytorch_tpu.parallel.train import make_sharded_train_step, shard_train_state
 from kfac_pytorch_tpu.preconditioner import KFACConfig, KFACHypers, KFACParamScheduler
 from kfac_pytorch_tpu.training.loop import (
     KFACScalars,
@@ -74,6 +77,9 @@ def parse_args(argv=None):
     p.add_argument("--exclude-parts", default="")
     p.add_argument("--kfac-type", default="Femp", choices=["Femp", "F1mc"],
                    help="empirical Fisher vs true-Fisher MC sampling")
+    p.add_argument("--n-devices", type=int, default=None,
+                   help="run the sharded mesh path over N devices "
+                        "(batch-size becomes per-device)")
     # harness
     p.add_argument("--data-path", default=None)
     p.add_argument("--synthetic", action="store_true")
@@ -105,16 +111,22 @@ def load_data(args):
 
 
 def main(argv=None):
+    from kfac_pytorch_tpu.utils.platform import ensure_platform_from_env
+    ensure_platform_from_env()
     args = parse_args(argv)
     logging.basicConfig(
         level=logging.INFO, format="%(asctime)s %(name)s %(message)s"
     )
+    n_dev = args.n_devices or 1
+    mesh = meshlib.make_mesh(n_dev) if n_dev > 1 else None
+    global_bs = args.batch_size * n_dev
+
     (x_train, y_train), (x_test, y_test) = load_data(args)
-    steps_per_epoch = max(len(x_train) // args.batch_size, 1)
+    steps_per_epoch = max(len(x_train) // global_bs, 1)
 
     model = get_model(args.model, num_classes=args.num_classes)
     rng = jax.random.PRNGKey(args.seed)
-    sample = jnp.zeros((args.batch_size, 32, 32, 3), jnp.float32)
+    sample = jnp.zeros((global_bs, 32, 32, 3), jnp.float32)
     variables = model.init(rng, sample, train=True)
     params = variables["params"]
     model_state = {
@@ -130,13 +142,27 @@ def main(argv=None):
             model, {"params": params, **model_state}, sample, train=True
         )
         log.info("#register modules: %d", len(specs))
-        kfac = ktpu.get_kfac_module(args.kfac_name)(
-            specs,
-            damping=args.damping,
-            kl_clip=args.kl_clip,
-            factor_decay=args.stat_decay,
-            **KFACConfig.exclude_parts_flags(args.exclude_parts),
-        )
+        if mesh is not None:
+            builder = ktpu.get_kfac_module(args.kfac_name)(specs)
+            kfac = BlockKFAC(
+                specs,
+                KFACConfig(
+                    inv_type=builder.config.inv_type,
+                    strategy=builder.config.strategy,
+                    damping=args.damping, kl_clip=args.kl_clip,
+                    factor_decay=args.stat_decay,
+                    **KFACConfig.exclude_parts_flags(args.exclude_parts),
+                ),
+                world_size=n_dev,
+            )
+        else:
+            kfac = ktpu.get_kfac_module(args.kfac_name)(
+                specs,
+                damping=args.damping,
+                kl_clip=args.kl_clip,
+                factor_decay=args.stat_decay,
+                **KFACConfig.exclude_parts_flags(args.exclude_parts),
+            )
 
     lr_fn = lr_schedules.warmup_multistep(
         args.base_lr, args.warmup_epochs, args.lr_decay,
@@ -149,15 +175,30 @@ def main(argv=None):
         kfac_state=kfac.init_state() if kfac else None,
         model_state=model_state,
     )
-    train_step = jax.jit(
-        make_train_step(
-            model, tx, kfac,
-            label_smoothing=args.label_smoothing,
-            perturb_template=perturbs,
-            train_kwargs={"train": True},
-            fisher_type=args.kfac_type,
+    if mesh is not None:
+        local_pert = (
+            ktpu.make_zero_perturbations(
+                model, {"params": params, **model_state},
+                sample[: args.batch_size], train=True,
+            ) if use_kfac else None
         )
-    )
+        train_step = make_sharded_train_step(
+            model, tx, kfac, mesh, state,
+            local_perturb_template=local_pert,
+            label_smoothing=args.label_smoothing,
+            train_kwargs={"train": True},
+        )
+        state = shard_train_state(mesh, kfac, state)
+    else:
+        train_step = jax.jit(
+            make_train_step(
+                model, tx, kfac,
+                label_smoothing=args.label_smoothing,
+                perturb_template=perturbs,
+                train_kwargs={"train": True},
+                fisher_type=args.kfac_type,
+            )
+        )
     eval_step = jax.jit(make_eval_step(model))
 
     hypers = KFACHypers(args.damping, args.kfac_cov_update_freq,
@@ -177,9 +218,11 @@ def main(argv=None):
         perm = data_rng.permutation(len(x_train))
         train_loss, train_acc = Metric("loss"), Metric("acc")
         for i in range(steps_per_epoch):
-            idx = perm[i * args.batch_size : (i + 1) * args.batch_size]
+            idx = perm[i * global_bs : (i + 1) * global_bs]
             timers.start("io")
             batch = (jnp.asarray(x_train[idx]), jnp.asarray(y_train[idx]))
+            if mesh is not None:
+                batch = meshlib.shard_batch(mesh, batch)
             timers.stop("io", batch[0])
             scalars = KFACScalars.create(
                 lr=lr_fn(global_step),
@@ -190,11 +233,14 @@ def main(argv=None):
             if args.profile_dir and global_step == 5:
                 jax.profiler.start_trace(args.profile_dir)
             timers.start("step")
-            step_rng = (
-                jax.random.fold_in(rng, global_step)
-                if args.kfac_type == "F1mc" else None
-            )
-            state, m = train_step(state, batch, scalars, step_rng)
+            if mesh is not None:
+                state, m = train_step(state, batch, scalars)
+            else:
+                step_rng = (
+                    jax.random.fold_in(rng, global_step)
+                    if args.kfac_type == "F1mc" else None
+                )
+                state, m = train_step(state, batch, scalars, step_rng)
             timers.stop("step", m["loss"])
             if args.profile_dir and global_step == 10:
                 jax.profiler.stop_trace()

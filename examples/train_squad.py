@@ -103,6 +103,8 @@ def load_data(args):
 
 
 def main(argv=None):
+    from kfac_pytorch_tpu.utils.platform import ensure_platform_from_env
+    ensure_platform_from_env()
     args = parse_args(argv)
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(name)s %(message)s")

@@ -94,8 +94,9 @@ def pcg_kron_solve(
     p = z
     rz = dot(r, z)
 
-    def body(i, carry):
-        x, r, p, rz = carry
+    # statically unrolled: TPU while-loop iterations carry scheduling
+    # barriers; unrolling lets XLA fuse and pipeline across iterations
+    for _ in range(iters):
         op_p = op(p)
         denom = dot(p, op_p)
         alpha = rz / jnp.where(jnp.abs(denom) < 1e-30, 1.0, denom)
@@ -105,7 +106,5 @@ def pcg_kron_solve(
         rz_new = dot(r, z)
         beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1.0, rz)
         p = z + beta * p
-        return x, r, p, rz_new
-
-    x, r, p, rz = jax.lax.fori_loop(0, iters, body, (x, r, p, rz))
+        rz = rz_new
     return x

@@ -182,6 +182,8 @@ def main(argv=None):
                    default=[128, 256, 512, 1024, 2048, 4608])
     p.add_argument("--json", action="store_true")
     args = p.parse_args(argv)
+    from kfac_pytorch_tpu.utils.platform import ensure_platform_from_env
+    ensure_platform_from_env()
 
     import jax
 

@@ -116,6 +116,8 @@ def main(argv=None):
                    default=["sgd", "eigen_dp", "inverse_dp"])
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
+    from kfac_pytorch_tpu.utils.platform import ensure_platform_from_env
+    ensure_platform_from_env()
 
     x, y = make_dataset(args.n_train + 512, 10, args.seed)
     xv, yv = x[-512:], y[-512:]

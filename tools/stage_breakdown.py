@@ -37,6 +37,8 @@ def main(argv=None):
     p.add_argument("--pcg-iters", type=int, default=12)
     p.add_argument("--k", type=int, default=6)
     args = p.parse_args(argv)
+    from kfac_pytorch_tpu.utils.platform import ensure_platform_from_env
+    ensure_platform_from_env()
 
     import jax
 
