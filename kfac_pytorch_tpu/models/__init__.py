@@ -8,6 +8,7 @@ pytorch_cifar10_resnet.py:200-217, pytorch_imagenet_resnet.py:235-258)::
 
 from kfac_pytorch_tpu.models import (
     densenet,
+    inception,
     resnet_cifar,
     resnet_imagenet,
     rnn_lm,
@@ -39,6 +40,8 @@ _REGISTRY = {
     "densenet121": densenet.densenet121,
     "densenet169": densenet.densenet169,
     "densenet201": densenet.densenet201,
+    # Inception
+    "inceptionv4": inception.inceptionv4,
     # ImageNet ResNets
     "imagenet-resnet18": resnet_imagenet.resnet18,
     "imagenet-resnet34": resnet_imagenet.resnet34,

@@ -116,6 +116,18 @@ def test_resnet20_kfac_train_step_end_to_end():
     assert np.isfinite(float(em["loss"]))
 
 
+def test_inceptionv4_registration():
+    model = get_model("inceptionv4", num_classes=10)
+    x = jnp.zeros((1, 160, 160, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=True)
+    specs, _ = _specs_for(
+        model,
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        x, train=True,
+    )
+    assert len(specs) == 150  # 149 convs + fc
+
+
 def test_registry_errors():
     with pytest.raises(ValueError):
         get_model("nope")
