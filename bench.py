@@ -79,15 +79,16 @@ def _build(model_name, batch, image, num_classes):
     # tests/test_pcg.py) without eigendecompositions — Cholesky + MXU
     # matmuls only, the TPU-native formulation. (XLA eigh costs ~1s at dim
     # 4608 per matrix on a v5e; Cholesky ~12ms.)
-    # dim_align=512 merges the 21 natural RN50 buckets into 10 (1.18x
-    # padding memory) — fewer, larger batched ops; pcg_iters=6 tracks the
-    # eigen trajectory to ~3e-4.
+    # Measured-best single-chip config (see BENCH_NOTES.md): natural
+    # buckets (dim_align=8 beats coarser merging — padding FLOPs cost more
+    # than the saved dispatches) and pcg_iters=6 (tracks the eigen
+    # trajectory to ~3e-4; ~4.6ms per CG iteration).
     kfac = BlockKFAC(
         specs,
         KFACConfig(inv_type="pcg", strategy="dp", damping=0.002,
                    pcg_iters=6),
         world_size=1,
-        dim_align=512,
+        dim_align=8,
     )
     scalars = KFACScalars.create(lr=0.1, damping=0.002)
     return make(None), make(kfac), (x, y), scalars
