@@ -45,26 +45,38 @@ CONV = "conv"
 
 @dataclass(frozen=True)
 class LayerSpec:
-    """Static description of one K-FAC-registered layer.
+    """Static description of one K-FAC-registered layer (or layer group).
 
     ``path`` is the flax scope path of the tagging module (also the key into
     the captured a/g trees); ``param_path`` locates the inner kernel/bias in
     the params pytree.
+
+    Grouped convolutions get ONE spec PER GROUP (``n_groups``/``group_idx``):
+    the curvature is block-diagonal over groups, each with its own A over
+    the group's input-channel patches and G over its output channels. (The
+    reference registers grouped Conv2d modules but its factor math assumes
+    dense connectivity — mathematically wrong for groups; per-group specs
+    are the correct treatment.)
     """
 
     path: Tuple[str, ...]
     kind: str  # DENSE | CONV
-    in_dim: int  # dense: features_in; conv: cin*kh*kw
-    out_dim: int  # dense: features_out; conv: cout
+    in_dim: int  # dense: features_in; conv: (cin/groups)*kh*kw
+    out_dim: int  # dense: features_out; conv: cout/groups
     has_bias: bool
     param_path: Tuple[str, ...] = ()
     kernel_size: Tuple[int, int] = (0, 0)
     strides: Tuple[int, int] = (1, 1)
     padding: Tuple[Tuple[int, int], Tuple[int, int]] = ((0, 0), (0, 0))
+    n_groups: int = 1
+    group_idx: int = 0
 
     @property
     def name(self) -> str:
-        return "/".join(self.path)
+        base = "/".join(self.path)
+        if self.n_groups > 1:
+            return f"{base}[g{self.group_idx}]"
+        return base
 
     @property
     def grad_in_dim(self) -> int:
@@ -151,13 +163,19 @@ class KFACDense(nn.Module):
 
 
 class KFACConv(nn.Module):
-    """2-D convolution registered for K-FAC preconditioning (NHWC)."""
+    """2-D convolution registered for K-FAC preconditioning (NHWC).
+
+    ``feature_group_count > 1`` (grouped / depthwise convs — the ResNeXt /
+    MobileNet building block) registers one spec PER GROUP: the curvature is
+    block-diagonal over groups, each with its own factors.
+    """
 
     features: int
     kernel_size: Tuple[int, int]
     strides: Tuple[int, int] = (1, 1)
     padding: Any = "SAME"
     use_bias: bool = True
+    feature_group_count: int = 1
     dtype: Any = None
     param_dtype: Any = jnp.float32
     kernel_init: Callable = nn.initializers.lecun_normal()
@@ -175,6 +193,7 @@ class KFACConv(nn.Module):
             strides=self.strides,
             padding=pad,
             use_bias=self.use_bias,
+            feature_group_count=self.feature_group_count,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             kernel_init=self.kernel_init,
@@ -185,18 +204,27 @@ class KFACConv(nn.Module):
         if self.exclude:
             return y
         kh, kw = self.kernel_size
-        spec = LayerSpec(
-            path=self.path,
-            kind=CONV,
-            in_dim=x.shape[-1] * kh * kw,
-            out_dim=self.features,
-            has_bias=self.use_bias,
-            param_path=self.path + ("layer",),
-            kernel_size=(kh, kw),
-            strides=tuple(self.strides),
-            padding=pad,
-        )
-        return _tap(self, x, y, spec)
+        g = self.feature_group_count
+        specs = [
+            LayerSpec(
+                path=self.path,
+                kind=CONV,
+                in_dim=(x.shape[-1] // g) * kh * kw,
+                out_dim=self.features // g,
+                has_bias=self.use_bias,
+                param_path=self.path + ("layer",),
+                kernel_size=(kh, kw),
+                strides=tuple(self.strides),
+                padding=pad,
+                n_groups=g,
+                group_idx=j,
+            )
+            for j in range(g)
+        ]
+        y = _tap(self, x, y, specs[0])
+        for sp in specs[1:]:
+            _record_spec(sp)
+        return y
 
 
 def collect_layer_specs(
@@ -214,12 +242,14 @@ def collect_layer_specs(
         jax.eval_shape(lambda: apply_fn(*args, **kwargs))
     finally:
         _SINK.active = prev
-    # Deduplicate while preserving call order (shared modules tap once).
+    # Deduplicate while preserving call order (shared modules tap once;
+    # grouped convs contribute one spec per group at the same path).
     seen = set()
     out = []
     for s in sink:
-        if s.path not in seen:
-            seen.add(s.path)
+        key = (s.path, s.group_idx)
+        if key not in seen:
+            seen.add(key)
             out.append(s)
     return tuple(out)
 

@@ -102,20 +102,29 @@ def make_kfac_interceptor(
                 dil = (1,)
             elif isinstance(dil, int):
                 dil = (dil,)
-            if mod.feature_group_count != 1 or any(d != 1 for d in dil):
-                return y  # grouped/dilated convs unsupported (as in reference)
-            spec = LayerSpec(
-                path=mod.path,
-                kind=CONV,
-                in_dim=x.shape[-1] * ks[0] * ks[1],
-                out_dim=mod.features,
-                has_bias=mod.use_bias,
-                param_path=mod.path,
-                kernel_size=ks,
-                strides=tuple(strides),
-                padding=pad,
-            )
-            return _tap_intercepted(mod, x, y, spec)
+            if any(d != 1 for d in dil):
+                return y  # dilated convs unsupported (as in reference)
+            g = mod.feature_group_count
+            specs = [
+                LayerSpec(
+                    path=mod.path,
+                    kind=CONV,
+                    in_dim=(x.shape[-1] // g) * ks[0] * ks[1],
+                    out_dim=mod.features // g,
+                    has_bias=mod.use_bias,
+                    param_path=mod.path,
+                    kernel_size=ks,
+                    strides=tuple(strides),
+                    padding=pad,
+                    n_groups=g,
+                    group_idx=j,
+                )
+                for j in range(g)
+            ]
+            y = _tap_intercepted(mod, x, y, specs[0])
+            for sp in specs[1:]:
+                _record_spec(sp)
+            return y
 
         return next_fun(*args, **kwargs)
 

@@ -11,6 +11,7 @@ from kfac_pytorch_tpu.models import (
     inception,
     resnet_cifar,
     resnet_imagenet,
+    resnext_mobilenet,
     rnn_lm,
     transformer,
     vgg,
@@ -40,6 +41,9 @@ _REGISTRY = {
     "densenet121": densenet.densenet121,
     "densenet169": densenet.densenet169,
     "densenet201": densenet.densenet201,
+    # ResNeXt / MobileNet (grouped convs)
+    "resnext50-32x4d": resnext_mobilenet.resnext50_32x4d,
+    "mobilenet-v1": resnext_mobilenet.mobilenet_v1,
     # Inception
     "inceptionv4": inception.inceptionv4,
     # ImageNet ResNets

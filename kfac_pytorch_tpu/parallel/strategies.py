@@ -56,8 +56,8 @@ from kfac_pytorch_tpu.preconditioner import (
     _get_path,
     compute_factor_a,
     compute_factor_g,
-    grad_from_2d,
     grad_to_2d,
+    write_grad_2d,
 )
 
 
@@ -79,6 +79,54 @@ def _pad2d(m: jax.Array, rows: int, cols: int) -> jax.Array:
     if m.shape == (rows, cols):
         return m
     return jnp.zeros((rows, cols), m.dtype).at[: m.shape[0], : m.shape[1]].set(m)
+
+
+def _embed_eye_batched(m: jax.Array, dim: int) -> jax.Array:
+    """(g, d, d) -> (g, dim, dim) identity-embedded."""
+    g, d, _ = m.shape
+    if d == dim:
+        return m
+    out = jnp.broadcast_to(jnp.eye(dim, dtype=m.dtype), (g, dim, dim))
+    return out.at[:, :d, :d].set(m)
+
+
+def _pad2d_batched(m: jax.Array, rows: int, cols: int) -> jax.Array:
+    g = m.shape[0]
+    if m.shape[1:] == (rows, cols):
+        return m
+    return (
+        jnp.zeros((g, rows, cols), m.dtype)
+        .at[:, : m.shape[1], : m.shape[2]]
+        .set(m)
+    )
+
+
+def _grouped_kernel_to_2d(node, spec) -> jax.Array:
+    """All groups' canonical 2-D grads at once: (g, out_g, kh*kw*cin_g[+1]).
+
+    flax grouped-conv kernel layout: (kh, kw, cin/g, g*out_g)."""
+    kernel = node["kernel"]
+    kh, kw, cin_g, _ = kernel.shape
+    ng, og = spec.n_groups, spec.out_dim
+    blk = kernel.reshape(kh, kw, cin_g, ng, og)
+    blk = blk.transpose(3, 4, 0, 1, 2).reshape(ng, og, kh * kw * cin_g)
+    if spec.has_bias:
+        bias = node["bias"].reshape(ng, og, 1)
+        blk = jnp.concatenate([blk, bias], axis=-1)
+    return blk
+
+
+def _write_grouped_grad_2d(node, spec, v_block) -> None:
+    """Inverse of _grouped_kernel_to_2d: write all groups' preconditioned
+    grads (g, out_g, d[+1]) back into the shared kernel/bias."""
+    kernel = node["kernel"]
+    kh, kw, cin_g, _ = kernel.shape
+    ng, og = spec.n_groups, spec.out_dim
+    if spec.has_bias:
+        node["bias"] = v_block[:, :, -1].reshape(ng * og)
+        v_block = v_block[:, :, :-1]
+    blk = v_block.reshape(ng, og, kh, kw, cin_g).transpose(2, 3, 4, 0, 1)
+    node["kernel"] = blk.reshape(kh, kw, cin_g, ng * og)
 
 
 class BlockKFAC:
@@ -169,38 +217,115 @@ class BlockKFAC:
 
     # ------------------------------------------------------------- step
 
-    def _fresh_bucket_factors(self, bucket: Bucket, acts, gs):
-        a_list, g_list = [], []
-        for r in bucket.rows:
+    def _iter_row_blocks(self, bucket: Bucket):
+        """Yield (kind, payload) over bucket rows, coalescing all groups of
+        one grouped-conv module into a single block: ('pad', n) | ('single',
+        spec) | ('grouped', [spec_g0..spec_gN-1]). Grouped rows of a module
+        are contiguous (make_buckets preserves insertion order)."""
+        i = 0
+        rows = bucket.rows
+        while i < len(rows):
+            r = rows[i]
             if r < 0:
-                a_list.append(jnp.eye(bucket.da))
-                g_list.append(jnp.eye(bucket.dg))
+                n = 1
+                while i + n < len(rows) and rows[i + n] < 0:
+                    n += 1
+                yield ("pad", n)
+                i += n
                 continue
             spec = self.specs[r]
-            a = _get_path(acts, spec.path)["a"]
-            g = _get_path(gs, spec.path)["p"]
-            a_list.append(
-                _embed_eye(
-                    compute_factor_a(spec, a, self.config.precision), bucket.da
+            if spec.n_groups > 1 and spec.group_idx == 0:
+                block = [spec]
+                j = i + 1
+                while (
+                    j < len(rows)
+                    and rows[j] >= 0
+                    and self.specs[rows[j]].path == spec.path
+                    and self.specs[rows[j]].group_idx == len(block)
+                ):
+                    block.append(self.specs[rows[j]])
+                    j += 1
+                if len(block) == spec.n_groups:
+                    yield ("grouped", block)
+                    i = j
+                    continue
+            yield ("single", spec)
+            i += 1
+
+    def _fresh_bucket_factors(self, bucket: Bucket, acts, gs):
+        """Stacked fresh factors [L, da, da]/[L, dg, dg]; grouped-conv
+        modules compute all their groups in ONE vmapped op (essential for
+        depthwise nets where a layer contributes hundreds of rows)."""
+        prec = self.config.precision
+        a_list, g_list = [], []
+        for kind, payload in self._iter_row_blocks(bucket):
+            if kind == "pad":
+                eye_a = jnp.broadcast_to(
+                    jnp.eye(bucket.da), (payload, bucket.da, bucket.da)
                 )
-            )
-            g_list.append(
-                _embed_eye(
-                    compute_factor_g(spec, g, self.config.precision), bucket.dg
+                eye_g = jnp.broadcast_to(
+                    jnp.eye(bucket.dg), (payload, bucket.dg, bucket.dg)
                 )
-            )
-        return jnp.stack(a_list), jnp.stack(g_list)
+                a_list.append(eye_a)
+                g_list.append(eye_g)
+            elif kind == "single":
+                spec = payload
+                a = _get_path(acts, spec.path)["a"]
+                g = _get_path(gs, spec.path)["p"]
+                a_list.append(
+                    _embed_eye(compute_factor_a(spec, a, prec), bucket.da)[
+                        None
+                    ]
+                )
+                g_list.append(
+                    _embed_eye(compute_factor_g(spec, g, prec), bucket.dg)[
+                        None
+                    ]
+                )
+            else:  # grouped module: vmap over the group axis
+                specs = payload
+                s0 = specs[0]
+                ng = s0.n_groups
+                a = _get_path(acts, s0.path)["a"]
+                g = _get_path(gs, s0.path)["p"]
+                cg = a.shape[-1] // ng
+                og = s0.out_dim
+                # (B,H,W,g*cg) -> (g,B,H,W,cg); (B,oh,ow,g*og) -> (g,...,og)
+                a_g = jnp.moveaxis(
+                    a.reshape(a.shape[:-1] + (ng, cg)), -2, 0
+                )
+                g_g = jnp.moveaxis(
+                    g.reshape(g.shape[:-1] + (ng, og)), -2, 0
+                )
+                fa = jax.vmap(
+                    lambda ax: fops.compute_a_conv(
+                        ax, s0.kernel_size, s0.strides, s0.padding,
+                        s0.has_bias, precision=prec,
+                    )
+                )(a_g)
+                fg = jax.vmap(
+                    lambda gx: fops.compute_g_conv(gx, precision=prec)
+                )(g_g)
+                a_list.append(_embed_eye_batched(fa, bucket.da))
+                g_list.append(_embed_eye_batched(fg, bucket.dg))
+        return jnp.concatenate(a_list), jnp.concatenate(g_list)
 
     def _stack_grads(self, bucket: Bucket, grads):
         rows = []
-        for r in bucket.rows:
-            if r < 0:
-                rows.append(jnp.zeros((bucket.dg, bucket.da)))
-                continue
-            spec = self.specs[r]
-            g2d = grad_to_2d(spec, _get_path(grads, spec.param_path))
-            rows.append(_pad2d(g2d, bucket.dg, bucket.da))
-        return jnp.stack(rows)
+        for kind, payload in self._iter_row_blocks(bucket):
+            if kind == "pad":
+                rows.append(jnp.zeros((payload, bucket.dg, bucket.da)))
+            elif kind == "single":
+                spec = payload
+                g2d = grad_to_2d(spec, _get_path(grads, spec.param_path))
+                rows.append(_pad2d(g2d, bucket.dg, bucket.da)[None])
+            else:
+                specs = payload
+                s0 = specs[0]
+                node = _get_path(grads, s0.param_path)
+                blk = _grouped_kernel_to_2d(node, s0)
+                rows.append(_pad2d_batched(blk, bucket.dg, bucket.da))
+        return jnp.concatenate(rows)
 
     def step(
         self,
@@ -239,7 +364,6 @@ class BlockKFAC:
 
         new_buckets = []
         preds_full = []
-        g2d_fulls = []
         vg_sum = jnp.zeros((), jnp.float32)
 
         for b_idx, bucket in enumerate(self.buckets):
@@ -392,7 +516,6 @@ class BlockKFAC:
                 else:
                     v_full = v_my
                 preds_full.append(v_full)
-                g2d_fulls.append(g2d_full)
                 if cfg.kl_clip is not None:
                     vg_sum = vg_sum + jnp.sum(v_full * g2d_full) * (lr**2)
 
@@ -406,15 +529,26 @@ class BlockKFAC:
             else:
                 nu = jnp.ones((), jnp.float32)
             for bucket, v_full in zip(self.buckets, preds_full):
-                for pos, r in enumerate(bucket.rows):
-                    if r < 0:
-                        continue
-                    spec = self.specs[r]
-                    layer_grads = _get_path(grads, spec.param_path)
-                    v = v_full[pos][: spec.out_dim, : spec.grad_in_dim]
-                    new = grad_from_2d(
-                        spec, v * nu, layer_grads["kernel"].shape
-                    )
-                    _get_path(out, spec.param_path).update(new)
+                pos = 0
+                for kind, payload in self._iter_row_blocks(bucket):
+                    if kind == "pad":
+                        pos += payload
+                    elif kind == "single":
+                        spec = payload
+                        v = v_full[pos][: spec.out_dim, : spec.grad_in_dim]
+                        write_grad_2d(
+                            _get_path(out, spec.param_path), spec, v * nu
+                        )
+                        pos += 1
+                    else:  # grouped module: one batched write-back
+                        s0 = payload[0]
+                        ng = s0.n_groups
+                        vb = v_full[pos : pos + ng][
+                            :, : s0.out_dim, : s0.grad_in_dim
+                        ]
+                        _write_grouped_grad_2d(
+                            _get_path(out, s0.param_path), s0, vb * nu
+                        )
+                        pos += ng
 
         return out, {"step": step + 1, "buckets": new_buckets}

@@ -27,7 +27,6 @@ the distributed factor/communication schedule.
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass
 from typing import Any, Dict, Optional, Sequence, Tuple
 
@@ -57,15 +56,25 @@ def grad_to_2d(spec: LayerSpec, layer_grads: Dict[str, jax.Array]) -> jax.Array:
     Reference equivalent: _get_grad (kfac_preconditioner_inv.py:145-154),
     with the flax kernel layouts — dense (din, dout), conv (kh, kw, cin,
     cout) — transposed/reshaped so the trailing feature ordering matches the
-    A-factor's patch ordering.
+    A-factor's patch ordering. Grouped convs take the spec's output-channel
+    slice of the (kh, kw, cin/groups, cout) kernel.
     """
     kernel = layer_grads["kernel"]
+    bias = layer_grads.get("bias")
     if kernel.ndim == 2:  # dense: (din, dout) -> (dout, din)
         g2d = kernel.T
-    else:  # conv: (kh, kw, cin, cout) -> (cout, kh*kw*cin)
+    else:  # conv: (kh, kw, cin/groups, cout) -> (out_slice, kh*kw*cin_g)
+        if spec.n_groups > 1:
+            sl = slice(
+                spec.group_idx * spec.out_dim,
+                (spec.group_idx + 1) * spec.out_dim,
+            )
+            kernel = kernel[..., sl]
+            if bias is not None:
+                bias = bias[sl]
         g2d = kernel.reshape(-1, kernel.shape[-1]).T
     if spec.has_bias:
-        g2d = jnp.concatenate([g2d, layer_grads["bias"][:, None]], axis=1)
+        g2d = jnp.concatenate([g2d, bias[:, None]], axis=1)
     return g2d
 
 
@@ -73,7 +82,7 @@ def grad_from_2d(
     spec: LayerSpec, g2d: jax.Array, kernel_shape: Tuple[int, ...]
 ) -> Dict[str, jax.Array]:
     """Inverse of grad_to_2d (reference _reshape_preconditioned_grad,
-    kfac_preconditioner_inv.py:178-186)."""
+    kfac_preconditioner_inv.py:178-186). Non-grouped layers only."""
     out: Dict[str, jax.Array] = {}
     if spec.has_bias:
         out["bias"] = g2d[:, -1]
@@ -85,10 +94,34 @@ def grad_from_2d(
     return out
 
 
+def write_grad_2d(node: Dict[str, jax.Array], spec: LayerSpec,
+                  g2d: jax.Array) -> None:
+    """Write a preconditioned 2-D gradient back into a mutable params-tree
+    node. For grouped convs each group overwrites only its output-channel
+    slice of the shared kernel/bias."""
+    if spec.n_groups == 1:
+        node.update(grad_from_2d(spec, g2d, node["kernel"].shape))
+        return
+    sl = slice(spec.group_idx * spec.out_dim,
+               (spec.group_idx + 1) * spec.out_dim)
+    if spec.has_bias:
+        node["bias"] = node["bias"].at[sl].set(g2d[:, -1])
+        g2d = g2d[:, :-1]
+    kh, kw, cin_g, _ = node["kernel"].shape
+    block = g2d.T.reshape(kh, kw, cin_g, spec.out_dim)
+    node["kernel"] = node["kernel"].at[..., sl].set(block)
+
+
 def compute_factor_a(spec: LayerSpec, a: jax.Array, precision=None) -> jax.Array:
-    """Kronecker A factor for one layer (dense or conv) from its input."""
+    """Kronecker A factor for one layer (dense or conv) from its input.
+
+    Grouped convs use only the group's input-channel slice (block-diagonal
+    curvature over groups)."""
     if spec.kind == DENSE:
         return fops.compute_a_dense(a, spec.has_bias, precision=precision)
+    if spec.n_groups > 1:
+        cg = a.shape[-1] // spec.n_groups
+        a = a[..., spec.group_idx * cg : (spec.group_idx + 1) * cg]
     return fops.compute_a_conv(
         a, spec.kernel_size, spec.strides, spec.padding, spec.has_bias,
         precision=precision,
@@ -99,6 +132,9 @@ def compute_factor_g(spec: LayerSpec, g: jax.Array, precision=None) -> jax.Array
     """Kronecker G factor for one layer from its output cotangent."""
     if spec.kind == DENSE:
         return fops.compute_g_dense(g, batch_averaged=True, precision=precision)
+    if spec.n_groups > 1:
+        og = spec.out_dim
+        g = g[..., spec.group_idx * og : (spec.group_idx + 1) * og]
     return fops.compute_g_conv(g, batch_averaged=True, precision=precision)
 
 
@@ -390,12 +426,8 @@ class KFAC:
             else:
                 nu = jnp.ones((), jnp.float32)  # reference inv.py:209-211
             for spec in self.specs:
-                layer_grads = _get_path(grads, spec.param_path)
-                new = grad_from_2d(
-                    spec, pred2d[spec.name] * nu, layer_grads["kernel"].shape
-                )
                 node = _get_path(out, spec.param_path)
-                node.update(new)
+                write_grad_2d(node, spec, pred2d[spec.name] * nu)
 
         new_state = {"step": step + 1, "layers": new_layers}
         return out, new_state
