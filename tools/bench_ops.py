@@ -24,17 +24,41 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def _timeit(fn, *args, iters=5, warmup=2):
-    import jax
+def _timeit(fn, *args, iters=6, warmup=None):
+    """Scan-chained timing: iters executions inside one compiled loop with a
+    data dependency between them, scalar fetch at the end. Plain
+    block_until_ready timing is unreliable over this environment's remote
+    TPU tunnel (async dispatch; per-call transfers)."""
+    import functools
 
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    import jax
+    import jax.numpy as jnp
+
+    x0, rest = args[0], args[1:]
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def loop(x, k):
+        def body(i, x):
+            out = fn(x, *rest)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            # sum over the WHOLE output: anything less lets XLA dead-code
+            # the unused portion of the op being measured
+            probe = (jnp.sum(leaf) * 1e-30).astype(x.dtype)
+            return x + probe
+
+        return jax.lax.fori_loop(0, k, body, x)
+
+    def run(k):
+        t0 = time.perf_counter()
+        r = loop(x0, k)
+        float(jax.device_get(r.ravel()[0]))
+        return time.perf_counter() - t0
+
+    run(1)
+    run(iters)
+    t1 = min(run(1) for _ in range(2))
+    tk = min(run(iters) for _ in range(2))
+    return max((tk - t1) / (iters - 1), 1e-9)
 
 
 def _spd(rng, n):
