@@ -88,6 +88,12 @@ def pcg_kron_solve(
             x * y, axis=(-2, -1), keepdims=True
         )  # (..., 1, 1) per layer
 
+    if iters == 0:
+        # degenerate mode: single preconditioner application (the split
+        # damped inverse — equivalent to the 'inverse' variant update);
+        # used for diagnostics and as the cheapest approximation
+        return prec(grad2d)
+
     x = jnp.zeros_like(grad2d)
     r = grad2d
     z = prec(r)

@@ -151,3 +151,16 @@ def test_pcg_registry_and_training():
         st, m = step(st, (x, y), scalars)
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0]
+
+
+def test_pcg_iters_zero_equals_split_preconditioner():
+    """iters=0 degenerates to one application of the split damped inverse
+    (the 'inverse'-variant update shape), used for diagnostics."""
+    rng = np.random.RandomState(9)
+    A = jnp.asarray(_spd(rng, 32))
+    G = jnp.asarray(_spd(rng, 24))
+    D = jnp.asarray(rng.randn(24, 32).astype(np.float32))
+    la, lg = P.damped_cholesky_factors(A, G, 0.05)
+    v0 = np.asarray(P.pcg_kron_solve(D, A, G, la, lg, 0.05, iters=0))
+    want = np.asarray(lg) @ np.asarray(D) @ np.asarray(la)
+    np.testing.assert_allclose(v0, want, rtol=1e-5, atol=1e-6)
