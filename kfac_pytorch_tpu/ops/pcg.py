@@ -29,7 +29,8 @@ from kfac_pytorch_tpu.ops import linalg as lops
 
 
 def damped_cholesky_factors(
-    a: jax.Array, g: jax.Array, damping, real_da=None, real_dg=None
+    a: jax.Array, g: jax.Array, damping, real_da=None, real_dg=None,
+    dtype=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Explicit inverses of the pi-split damped factors (batched).
 
@@ -55,6 +56,12 @@ def damped_cholesky_factors(
     shift_g = (sd / pi)[..., None, None] * jnp.eye(dg, dtype=g.dtype)
     inv_a = lops.cholesky_inverse(a + shift_a)
     inv_g = lops.cholesky_inverse(g + shift_g)
+    if dtype is not None:
+        # bf16 storage halves the state carried through the refresh cond and
+        # the preconditioner matmul traffic; preconditioner precision only
+        # affects CG convergence rate, not the solution
+        inv_a = inv_a.astype(dtype)
+        inv_g = inv_g.astype(dtype)
     return inv_a, inv_g
 
 

@@ -187,9 +187,12 @@ class BlockKFAC:
                     QG=jnp.zeros((L, dg, dg)),
                 )
             elif self.config.inv_type == PCG:
+                pdt = self.config._pcg_dtype or jnp.float32
                 entry.update(
-                    cholA=jnp.broadcast_to(jnp.eye(da), (L, da, da)),
-                    cholG=jnp.broadcast_to(jnp.eye(dg), (L, dg, dg)),
+                    cholA=jnp.broadcast_to(jnp.eye(da, dtype=pdt),
+                                           (L, da, da)),
+                    cholG=jnp.broadcast_to(jnp.eye(dg, dtype=pdt),
+                                           (L, dg, dg)),
                 )
             else:
                 entry.update(
@@ -447,6 +450,7 @@ class BlockKFAC:
                         return pcg_ops.damped_cholesky_factors(
                             entry["A"], entry["G"], damping,
                             real_da=real_da, real_dg=real_dg,
+                            dtype=cfg._pcg_dtype,
                         )
 
                     entry["cholA"], entry["cholG"] = jax.lax.cond(

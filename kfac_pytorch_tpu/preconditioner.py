@@ -190,6 +190,17 @@ class KFACConfig:
     # a stale preconditioner just costs a little convergence rate.
     pcg_iters: int = 8
     pcg_precond_freq: int = 10
+    # storage dtype of the cached preconditioner inverses (None = float32);
+    # bf16 halves state traffic and only affects CG convergence rate
+    pcg_precond_dtype: Any = "bfloat16"
+
+    @property
+    def _pcg_dtype(self):
+        import jax.numpy as _jnp
+
+        if self.pcg_precond_dtype is None:
+            return None
+        return _jnp.dtype(self.pcg_precond_dtype)
 
     def symeig(self, x):
         if self.symeig_impl == "jacobi":
@@ -251,9 +262,10 @@ class KFAC:
                     QG=jnp.zeros((dg, dg), jnp.float32),
                 )
             elif self.config.inv_type == PCG:
+                pdt = self.config._pcg_dtype or jnp.float32
                 entry.update(
-                    cholA=jnp.broadcast_to(jnp.eye(da), (da, da)),
-                    cholG=jnp.broadcast_to(jnp.eye(dg), (dg, dg)),
+                    cholA=jnp.eye(da, dtype=pdt),
+                    cholG=jnp.eye(dg, dtype=pdt),
                 )
             else:
                 entry.update(
@@ -366,7 +378,8 @@ class KFAC:
 
                     def inv_update(entry=entry):
                         return pcg_ops.damped_cholesky_factors(
-                            entry["A"], entry["G"], damping
+                            entry["A"], entry["G"], damping,
+                            dtype=cfg._pcg_dtype,
                         )
 
                     entry["cholA"], entry["cholG"] = jax.lax.cond(
