@@ -118,16 +118,30 @@ def extract_patches(
     return p.reshape(b, oh, ow, kh * kw * c)
 
 
-def _cov(v: jax.Array, denom, dtype, precision) -> jax.Array:
-    """v^T (v/denom) with fp32 MXU accumulation."""
+def _cov_with_bias(
+    v: jax.Array, scale, has_bias: bool, ones_val, dtype, precision
+) -> jax.Array:
+    """Covariance of [v, ones_val] rows scaled by ``scale`` WITHOUT
+    materializing the ones-augmented copy: the (d+1)^2 result is assembled
+    from one raw-row GEMM, a row-sum, and a scalar corner. Mathematically
+    identical to concat+divide+GEMM but saves two full passes over v (v can
+    be conv patches ~10x the activation size)."""
     v = v.astype(dtype)
-    return jax.lax.dot_general(
-        v,
-        v / denom,
+    pp = jax.lax.dot_general(
+        v, v,
         dimension_numbers=(((0,), (0,)), ((), ())),
         precision=precision,
         preferred_element_type=jnp.float32,
+    ) * scale
+    if not has_bias:
+        return pp
+    col = jnp.sum(v, axis=0, dtype=jnp.float32) * (scale * ones_val)
+    corner = jnp.asarray(
+        v.shape[0] * scale * ones_val * ones_val, jnp.float32
     )
+    top = jnp.concatenate([pp, col[:, None]], axis=1)
+    bot = jnp.concatenate([col, corner[None]])[None, :]
+    return jnp.concatenate([top, bot], axis=0)
 
 
 def compute_a_dense(
@@ -146,11 +160,9 @@ def compute_a_dense(
     if a.ndim > 2:
         a = jnp.mean(a, axis=tuple(range(1, a.ndim - 1)))
     batch_size = a.shape[0]
-    a = a.astype(dtype)
-    if has_bias:
-        ones = jnp.ones((a.shape[0], 1), dtype=a.dtype)
-        a = jnp.concatenate([a, ones], axis=1)
-    return _cov(a, batch_size, dtype, precision)
+    return _cov_with_bias(
+        a, 1.0 / batch_size, has_bias, 1.0, dtype, precision
+    )
 
 
 def compute_a_conv(
@@ -172,12 +184,11 @@ def compute_a_conv(
     batch_size = a.shape[0]
     p = extract_patches(a, kernel_size, strides, padding)
     spatial_size = p.shape[1] * p.shape[2]
-    v = p.reshape(-1, p.shape[-1]).astype(dtype)
-    if has_bias:
-        ones = jnp.ones((v.shape[0], 1), dtype=v.dtype)
-        v = jnp.concatenate([v, ones], axis=1)
-    v = v / spatial_size
-    return _cov(v, batch_size, dtype, precision)
+    v = p.reshape(-1, p.shape[-1])
+    # reference scaling: rows (incl. the appended ones) divided by
+    # spatial_size, covariance by batch — folded into one post-GEMM scale
+    scale = 1.0 / (spatial_size * spatial_size * batch_size)
+    return _cov_with_bias(v, scale, has_bias, 1.0, dtype, precision)
 
 
 def compute_g_dense(
@@ -197,10 +208,8 @@ def compute_g_dense(
     if g.ndim > 2:
         g = jnp.mean(g, axis=tuple(range(1, g.ndim - 1)))
     batch_size = g.shape[0]
-    g = g.astype(dtype)
-    if batch_averaged:
-        g = g * batch_size
-    return _cov(g, batch_size, dtype, precision)
+    scale = float(batch_size) if batch_averaged else 1.0 / batch_size
+    return _cov_with_bias(g, scale, False, 1.0, dtype, precision)
 
 
 def compute_g_conv(
@@ -218,11 +227,11 @@ def compute_g_conv(
     """
     batch_size = g.shape[0]
     spatial_size = g.shape[1] * g.shape[2]
-    v = g.reshape(-1, g.shape[-1]).astype(dtype)
-    if batch_averaged:
-        v = v * batch_size
-    v = v * spatial_size
-    return _cov(v, v.shape[0], dtype, precision)
+    v = g.reshape(-1, g.shape[-1])
+    rows = v.shape[0]
+    bs = float(batch_size) if batch_averaged else 1.0
+    scale = (bs * spatial_size) ** 2 / rows
+    return _cov_with_bias(v, scale, False, 1.0, dtype, precision)
 
 
 def ema_update(new: jax.Array, cur: jax.Array, alpha) -> jax.Array:
