@@ -83,6 +83,11 @@ def _build(model_name, batch, image, num_classes):
     # buckets (dim_align=8 beats coarser merging — padding FLOPs cost more
     # than the saved dispatches) and pcg_iters=6 (tracks the eigen
     # trajectory to ~3e-4; ~4.6ms per CG iteration).
+    # factor_dtype stays float32: XLA's default-precision matmuls already
+    # run bf16 passes internally, and an explicit bf16 cast measured
+    # slightly slower (3.12x vs 3.02x). The bfloat16 option (the
+    # reference's tcmm f_gemm_ex fp16 path; trajectory deviation ~5e-5)
+    # remains available via KFACConfig.factor_dtype.
     kfac = BlockKFAC(
         specs,
         KFACConfig(inv_type="pcg", strategy="dp", damping=0.002,

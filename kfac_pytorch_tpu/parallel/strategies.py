@@ -275,15 +275,16 @@ class BlockKFAC:
                 spec = payload
                 a = _get_path(acts, spec.path)["a"]
                 g = _get_path(gs, spec.path)["p"]
+                fdt = self.config._factor_dtype
                 a_list.append(
-                    _embed_eye(compute_factor_a(spec, a, prec), bucket.da)[
-                        None
-                    ]
+                    _embed_eye(
+                        compute_factor_a(spec, a, prec, fdt), bucket.da
+                    )[None]
                 )
                 g_list.append(
-                    _embed_eye(compute_factor_g(spec, g, prec), bucket.dg)[
-                        None
-                    ]
+                    _embed_eye(
+                        compute_factor_g(spec, g, prec, fdt), bucket.dg
+                    )[None]
                 )
             else:  # grouped module: vmap over the group axis
                 specs = payload
@@ -300,14 +301,16 @@ class BlockKFAC:
                 g_g = jnp.moveaxis(
                     g.reshape(g.shape[:-1] + (ng, og)), -2, 0
                 )
+                fdt = self.config._factor_dtype
                 fa = jax.vmap(
                     lambda ax: fops.compute_a_conv(
                         ax, s0.kernel_size, s0.strides, s0.padding,
-                        s0.has_bias, precision=prec,
+                        s0.has_bias, precision=prec, dtype=fdt,
                     )
                 )(a_g)
                 fg = jax.vmap(
-                    lambda gx: fops.compute_g_conv(gx, precision=prec)
+                    lambda gx: fops.compute_g_conv(gx, precision=prec,
+                                                   dtype=fdt)
                 )(g_g)
                 a_list.append(_embed_eye_batched(fa, bucket.da))
                 g_list.append(_embed_eye_batched(fg, bucket.dg))

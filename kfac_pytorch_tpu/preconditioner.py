@@ -112,30 +112,35 @@ def write_grad_2d(node: Dict[str, jax.Array], spec: LayerSpec,
     node["kernel"] = node["kernel"].at[..., sl].set(block)
 
 
-def compute_factor_a(spec: LayerSpec, a: jax.Array, precision=None) -> jax.Array:
+def compute_factor_a(spec: LayerSpec, a: jax.Array, precision=None,
+                     dtype=jnp.float32) -> jax.Array:
     """Kronecker A factor for one layer (dense or conv) from its input.
 
     Grouped convs use only the group's input-channel slice (block-diagonal
     curvature over groups)."""
     if spec.kind == DENSE:
-        return fops.compute_a_dense(a, spec.has_bias, precision=precision)
+        return fops.compute_a_dense(a, spec.has_bias, precision=precision,
+                                    dtype=dtype)
     if spec.n_groups > 1:
         cg = a.shape[-1] // spec.n_groups
         a = a[..., spec.group_idx * cg : (spec.group_idx + 1) * cg]
     return fops.compute_a_conv(
         a, spec.kernel_size, spec.strides, spec.padding, spec.has_bias,
-        precision=precision,
+        precision=precision, dtype=dtype,
     )
 
 
-def compute_factor_g(spec: LayerSpec, g: jax.Array, precision=None) -> jax.Array:
+def compute_factor_g(spec: LayerSpec, g: jax.Array, precision=None,
+                     dtype=jnp.float32) -> jax.Array:
     """Kronecker G factor for one layer from its output cotangent."""
     if spec.kind == DENSE:
-        return fops.compute_g_dense(g, batch_averaged=True, precision=precision)
+        return fops.compute_g_dense(g, batch_averaged=True,
+                                    precision=precision, dtype=dtype)
     if spec.n_groups > 1:
         og = spec.out_dim
         g = g[..., spec.group_idx * og : (spec.group_idx + 1) * og]
-    return fops.compute_g_conv(g, batch_averaged=True, precision=precision)
+    return fops.compute_g_conv(g, batch_averaged=True, precision=precision,
+                               dtype=dtype)
 
 
 def _get_path(tree, path):
@@ -177,6 +182,17 @@ class KFACConfig:
     exclude_communicate_inverse: bool = False
     # matmul precision for factor/precond GEMMs
     precision: Any = None
+    # input dtype of the factor-statistics GEMMs: float32 (reference
+    # default) or bfloat16 — the reference's tcmm f_gemm_ex fp16
+    # tensor-core path (utils.py:156,217); accumulation stays fp32 either
+    # way via preferred_element_type
+    factor_dtype: Any = "float32"
+
+    @property
+    def _factor_dtype(self):
+        import jax.numpy as _jnp
+
+        return _jnp.dtype(self.factor_dtype)
     # symmetric eigensolver: 'xla' (QDWH eigh) or 'jacobi' (Pallas one-sided
     # Jacobi for dims <= jacobi_max_dim, XLA above — the tcmm f_symeig
     # equivalent, ops/pallas/symeig.py)
@@ -278,10 +294,12 @@ class KFAC:
     # ---------------------------------------------------------- stats
 
     def _compute_a(self, spec: LayerSpec, a: jax.Array) -> jax.Array:
-        return compute_factor_a(spec, a, self.config.precision)
+        return compute_factor_a(spec, a, self.config.precision,
+                                self.config._factor_dtype)
 
     def _compute_g(self, spec: LayerSpec, g: jax.Array) -> jax.Array:
-        return compute_factor_g(spec, g, self.config.precision)
+        return compute_factor_g(spec, g, self.config.precision,
+                                self.config._factor_dtype)
 
     # ---------------------------------------------------------- step
 
