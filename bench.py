@@ -21,10 +21,19 @@ dispatch/transfer overhead exactly.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+
+def _env_f(name, default):
+    return float(os.environ.get(name, default))
+
+
+def _env_i(name, default):
+    return int(os.environ.get(name, default))
 
 
 def _build(model_name, batch, image, num_classes):
@@ -42,6 +51,10 @@ def _build(model_name, batch, image, num_classes):
     from kfac_pytorch_tpu.models import get_model
     from kfac_pytorch_tpu.parallel.strategies import BlockKFAC
     from kfac_pytorch_tpu.preconditioner import KFACConfig
+    from kfac_pytorch_tpu.training.bucketed import (
+        init_bucketed_state,
+        make_bucketed_train_step,
+    )
     from kfac_pytorch_tpu.training.loop import (
         KFACScalars,
         TrainState,
@@ -60,43 +73,61 @@ def _build(model_name, batch, image, num_classes):
     )
     tx = optax.sgd(0.1, momentum=0.9)
 
-    def make(kfac):
+    def make_sgd():
         st = TrainState(
             params=params,
             opt_state=tx.init(params),
-            kfac_state=kfac.init_state() if kfac else None,
+            kfac_state=None,
             model_state=model_state,
         )
         raw = make_train_step(
-            model, tx, kfac,
-            perturb_template=perturbs if kfac else None,
+            model, tx, None, train_kwargs={"train": True},
+        )
+        return raw, st
+
+    # K-FAC arm: the bucket-resident pipeline (training/bucketed.py) —
+    # gradients stacked once, K-FAC + SGD momentum in bucket form, deltas
+    # unstacked once. inv_type='pcg' computes the SAME eigen-variant update
+    # (exact damped Kronecker solve, tests/test_pcg.py) without
+    # eigendecompositions — Cholesky + MXU matmuls only (XLA eigh costs ~1s
+    # at dim 4608 on a v5e; Cholesky ~12ms). static_schedule compiles the
+    # canonical TCov=TInv=1 config with no conds; the pcg preconditioner
+    # refresh (freq 10, exact regardless of staleness) is the single
+    # remaining cond. Cost-model bucket merging packs small buckets (round-1
+    # measured blanket merging loses to padding FLOPs; the model keeps big
+    # buckets natural). factor_dtype stays float32: XLA's default-precision
+    # matmuls already run bf16 MXU passes (BENCH_NOTES round 1).
+    # Env overrides allow on-chip sweeps without editing the file.
+    kfac = BlockKFAC(
+        specs,
+        KFACConfig(
+            inv_type=os.environ.get("KFB_INV", "pcg"),
+            strategy="dp",
+            damping=0.002,
+            pcg_iters=_env_i("KFB_ITERS", 6),
+            pcg_precond_freq=_env_i("KFB_PREC_FREQ", 10),
+            kfac_update_freq=_env_i("KFB_TINV", 1),
+            fac_update_freq=_env_i("KFB_TCOV", 1),
+            static_schedule=True,
+        ),
+        world_size=1,
+        dim_align=8,
+        merge_flop_rate=_env_f("KFB_MERGE_RATE", 6e13),
+        merge_dispatch_cost=_env_f("KFB_MERGE_COST", 1.2e-3),
+    )
+    print(f"# kfac buckets: {len(kfac.buckets)}", file=sys.stderr)
+
+    def make_kfac():
+        st = init_bucketed_state(kfac, params, model_state=model_state)
+        raw = make_bucketed_train_step(
+            model, kfac, momentum=0.9,
+            perturb_template=perturbs,
             train_kwargs={"train": True},
         )
         return raw, st
 
-    # Bucketed batched implementation. inv_type='pcg' computes the SAME
-    # eigen-variant update (exact damped Kronecker solve, verified in
-    # tests/test_pcg.py) without eigendecompositions — Cholesky + MXU
-    # matmuls only, the TPU-native formulation. (XLA eigh costs ~1s at dim
-    # 4608 per matrix on a v5e; Cholesky ~12ms.)
-    # Measured-best single-chip config (see BENCH_NOTES.md): natural
-    # buckets (dim_align=8 beats coarser merging — padding FLOPs cost more
-    # than the saved dispatches) and pcg_iters=6 (tracks the eigen
-    # trajectory to ~3e-4; ~4.6ms per CG iteration).
-    # factor_dtype stays float32: XLA's default-precision matmuls already
-    # run bf16 passes internally, and an explicit bf16 cast measured
-    # slightly slower (3.12x vs 3.02x). The bfloat16 option (the
-    # reference's tcmm f_gemm_ex fp16 path; trajectory deviation ~5e-5)
-    # remains available via KFACConfig.factor_dtype.
-    kfac = BlockKFAC(
-        specs,
-        KFACConfig(inv_type="pcg", strategy="dp", damping=0.002,
-                   pcg_iters=6),
-        world_size=1,
-        dim_align=8,
-    )
     scalars = KFACScalars.create(lr=0.1, damping=0.002)
-    return make(None), make(kfac), (x, y), scalars
+    return make_sgd(), make_kfac(), (x, y), scalars
 
 
 def _time_chained(raw_step, state, batch, scalars, k_hi=8, k_lo=1):

@@ -167,6 +167,7 @@ def main(argv=None):
     lr_fn = lr_schedules.warmup_multistep(
         args.base_lr, args.warmup_epochs, args.lr_decay,
         steps_per_epoch=steps_per_epoch,
+        workers=(mesh.devices.size if mesh is not None else 1),
     )
     tx = lr_schedules.sgd_optimizer(lr_fn, args.momentum, args.wd)
     state = TrainState(

@@ -40,7 +40,7 @@ from kfac_pytorch_tpu.training.loop import (
     KFACScalars,
     TrainState,
     make_eval_step,
-    make_train_step,
+    make_grad_accum_train_step,
 )
 from kfac_pytorch_tpu.utils import lr_schedules
 from kfac_pytorch_tpu.utils.metrics import Metric, StageTimers
@@ -127,7 +127,10 @@ def main(argv=None):
 
     n_dev = args.n_devices or 1
     mesh = meshlib.make_mesh(n_dev) if n_dev > 1 else None
-    global_bs = args.batch_size * n_dev
+    n_accum = max(args.batches_per_allreduce, 1)
+    # one *effective* step consumes micro_bs x n_accum rows per device
+    # (reference --batches-per-allreduce, pytorch_imagenet_resnet.py:355-367)
+    global_bs = args.batch_size * n_dev * n_accum
     lr_scale = n_dev  # reference scales lr by world size
 
     (x_train, y_train), (x_test, y_test) = load_data(args)
@@ -167,12 +170,10 @@ def main(argv=None):
         )
 
     lr_fn = lr_schedules.warmup_multistep(
-        args.base_lr * lr_scale, args.warmup_epochs, args.lr_decay,
-        steps_per_epoch=steps_per_epoch,
+        args.base_lr, args.warmup_epochs, args.lr_decay,
+        steps_per_epoch=steps_per_epoch, workers=lr_scale,
     )
     tx = lr_schedules.sgd_optimizer(lr_fn, args.momentum, args.wd)
-    if args.batches_per_allreduce > 1:
-        tx = optax.MultiSteps(tx, args.batches_per_allreduce)
     state = TrainState(
         params=params, opt_state=tx.init(params),
         kfac_state=kfac.init_state() if kfac else None,
@@ -202,18 +203,22 @@ def main(argv=None):
             local_perturb_template=local_pert,
             label_smoothing=args.label_smoothing,
             train_kwargs={"train": True},
+            n_accum=n_accum,
         )
         state = shard_train_state(mesh, kfac, state)
     else:
+        micro_sample = sample[: global_bs // n_accum]
         perturbs = (
             ktpu.make_zero_perturbations(
-                model, {"params": params, **model_state}, sample, train=True
+                model, {"params": params, **model_state}, micro_sample,
+                train=True,
             )
             if use_kfac else None
         )
         train_step = jax.jit(
-            make_train_step(
-                model, tx, kfac, label_smoothing=args.label_smoothing,
+            make_grad_accum_train_step(
+                model, tx, kfac, n_accum,
+                label_smoothing=args.label_smoothing,
                 perturb_template=perturbs, train_kwargs={"train": True},
             )
         )

@@ -39,12 +39,23 @@ def make_mesh(
         devices = devices[:n_devices]
     devs = np.array(devices)
     if len(axis_names) > 1:
-        # split sizes evenly: first axis gets the remainder
+        # exact factorization: trailing axes take the largest divisor near
+        # the n-th root, the first axis absorbs the remainder (always
+        # multiplies back to len(devices) — no reshape failures on
+        # non-perfect-power counts)
         n = len(devs)
-        per = int(round(n ** (1 / len(axis_names))))
-        shape = [n // (per ** (len(axis_names) - 1))] + [per] * (
-            len(axis_names) - 1
-        )
+        trailing = []
+        rem = n
+        for _ in range(len(axis_names) - 1):
+            axes_left = len(axis_names) - len(trailing)
+            d = max(1, int(round(rem ** (1.0 / axes_left))))
+            d = min(d, rem)
+            while rem % d:
+                d -= 1
+            trailing.append(d)
+            rem //= d
+        shape = [rem] + trailing
+        assert int(np.prod(shape)) == n, (shape, n)
         devs = devs.reshape(shape)
     return Mesh(devs, axis_names)
 

@@ -135,10 +135,30 @@ class Bucket:
         return len(self.rows)
 
 
+def _shape_key(s: LayerSpec):
+    """Rows with equal keys have identically-shaped parameter arrays, so the
+    gradient stack/unstack can run as ONE batched op over the run instead of
+    per-layer ops (the dispatch-tail fix, BENCH_NOTES round 1). Grouped-conv
+    rows of one module sort contiguously in group order (required by
+    _iter_row_blocks)."""
+    return (
+        s.kind,
+        s.kernel_size,
+        s.in_dim,
+        s.out_dim,
+        int(s.has_bias),
+        s.n_groups,
+        s.path,
+        s.group_idx,
+    )
+
+
 def make_buckets(
     specs: Sequence[LayerSpec],
     world_size: int,
     dim_align: int = 8,
+    merge_flop_rate: float = 0.0,
+    merge_dispatch_cost: float = 0.0,
 ) -> List[Bucket]:
     """Group layers into same-padded-dim buckets, row-padded to world_size.
 
@@ -146,6 +166,18 @@ def make_buckets(
     repeat a handful of factor shapes many times, so buckets are large and
     identity-padding waste is small. Rows within a bucket are interchangeable
     (uniform cost), so the contiguous device blocks are balanced exactly.
+    Within a bucket rows are ordered by parameter shape so equal-shape runs
+    stack/unstack as single batched ops.
+
+    merge_flop_rate / merge_dispatch_cost (both > 0 to enable) turn on
+    cost-model bucket packing: buckets are greedily merged (padding rows up
+    to the merged dims — identity padding keeps the math exact) whenever the
+    estimated per-step dispatch saving of one fewer bucket exceeds the extra
+    padded-matmul FLOP time. This is the production version of the
+    reference's offline bottleneck partitioner idea
+    (/root/reference/scripts/dp_block_partition.py:11-76): a measured cost
+    model deciding how curvature work is packed, instead of uniform
+    round-robin. See pack_buckets for the model.
     """
     groups: Dict[Tuple[int, int], List[int]] = {}
     for i, s in enumerate(specs):
@@ -154,10 +186,82 @@ def make_buckets(
 
     buckets = []
     for (da, dg), idxs in sorted(groups.items()):
+        idxs = sorted(idxs, key=lambda i: _shape_key(specs[i]))
         n_pad = _round_up(len(idxs), world_size)
         rows = tuple(idxs) + (-1,) * (n_pad - len(idxs))
         buckets.append(Bucket(rows=rows, da=da, dg=dg))
+    if merge_flop_rate > 0.0 and merge_dispatch_cost > 0.0:
+        buckets = pack_buckets(
+            buckets, specs, world_size,
+            flop_rate=merge_flop_rate,
+            dispatch_cost=merge_dispatch_cost,
+        )
     return buckets
+
+
+def _bucket_real_rows(bucket: Bucket) -> int:
+    return sum(1 for r in bucket.rows if r >= 0)
+
+
+def _precond_flops(n_rows: int, da: int, dg: int) -> float:
+    """Per-step preconditioning matmul FLOPs of one bucket (the dominant
+    repeated cost): operator + preconditioner applications are each two
+    matmuls (dg x dg)(dg x da) + (dg x da)(da x da) per row."""
+    return 4.0 * n_rows * da * dg * (da + dg)
+
+
+def pack_buckets(
+    buckets: List[Bucket],
+    specs: Sequence[LayerSpec],
+    world_size: int,
+    *,
+    flop_rate: float,
+    dispatch_cost: float,
+) -> List[Bucket]:
+    """Greedy cost-model bucket merging.
+
+    Each bucket costs ``dispatch_cost`` seconds of fixed per-step overhead
+    (the measured per-bucket op-dispatch tail: conds, CG bookkeeping, EMA,
+    stack bookkeeping) plus its matmul FLOPs at ``flop_rate`` FLOP/s.
+    Merging two buckets pads every row to the elementwise-max dims; merge is
+    taken when the dispatch saving exceeds the padded-FLOP cost. Small
+    (1x1-conv-sized) buckets merge; large natural buckets stay separate —
+    exactly the behavior round-1 measurement demanded (BENCH_NOTES:
+    dim_align=512 blanket merging lost to padding FLOPs).
+    """
+    buckets = list(buckets)
+    while len(buckets) > 1:
+        best = None
+        for i in range(len(buckets)):
+            for j in range(i + 1, len(buckets)):
+                bi, bj = buckets[i], buckets[j]
+                da, dg = max(bi.da, bj.da), max(bi.dg, bj.dg)
+                ni, nj = _bucket_real_rows(bi), _bucket_real_rows(bj)
+                cost_now = (
+                    _precond_flops(ni, bi.da, bi.dg)
+                    + _precond_flops(nj, bj.da, bj.dg)
+                ) / flop_rate + 2 * dispatch_cost
+                cost_merged = (
+                    _precond_flops(ni + nj, da, dg) / flop_rate
+                    + dispatch_cost
+                )
+                gain = cost_now - cost_merged
+                if gain > 0 and (best is None or gain > best[0]):
+                    best = (gain, i, j, da, dg)
+        if best is None:
+            break
+        _, i, j, da, dg = best
+        rows = tuple(
+            r for r in buckets[i].rows + buckets[j].rows if r >= 0
+        )
+        rows = tuple(sorted(rows, key=lambda r: _shape_key(specs[r])))
+        n_pad = _round_up(len(rows), world_size)
+        rows = rows + (-1,) * (n_pad - len(rows))
+        merged = Bucket(rows=rows, da=da, dg=dg)
+        buckets = [
+            b for k, b in enumerate(buckets) if k not in (i, j)
+        ] + [merged]
+    return sorted(buckets, key=lambda b: (b.da, b.dg))
 
 
 def bucket_eigh_cost(bucket: Bucket) -> float:

@@ -28,22 +28,34 @@ preconditioning. With ``axis=None`` it is a drop-in single-program
 implementation (tested equal to the per-layer KFAC); with ``axis='data'``
 inside ``shard_map`` it becomes the distributed preconditioner.
 
-Note on gating: factor GEMMs run unconditionally and are masked by
-``jnp.where`` (the canonical configs use TCov=1 so nothing is wasted);
-eigendecompositions — the expensive stage — are gated under ``lax.cond``
-(no collectives inside, so conditional execution is SPMD-safe).
+Dispatch-tail design (round-2 restructure): the step is STAGE-MAJOR — each
+update-frequency gate is ONE ``lax.cond`` spanning every bucket (instead of
+one cond per bucket per stage), gradients stack/unstack as batched ops over
+equal-shape layer runs (partition._shape_key orders bucket rows so layers
+with identical parameter shapes are contiguous), and with
+``KFACConfig.static_schedule`` the canonical TCov=TInv=1 configs compile
+with no conds at all. ``step_buckets`` keeps gradients bucket-resident for
+the bucketed trainer (training/bucketed.py), which also runs SGD momentum in
+bucket form — the per-layer op storm of round 1 (~6000 dispatches/step,
+BENCH_NOTES.md) collapses to a few ops per bucket.
+
+Gating semantics: collectives may never sit inside data-dependent control
+flow (SPMD deadlock). In mpd mode the factor GEMMs run under the cond
+producing fresh-or-zero factors, the pmean runs unconditionally on the
+result, and the EMA is where-masked — so --kfac-cov-update-freq amortizes
+the GEMMs (round-1 ADVICE fix) while the collective stays unconditional.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from kfac_pytorch_tpu.capture import COL_A, LayerSpec
+from kfac_pytorch_tpu.capture import COL_A, DENSE, LayerSpec
 from kfac_pytorch_tpu.ops import factors as fops
 from kfac_pytorch_tpu.ops import linalg as lops
 from kfac_pytorch_tpu.ops import precond as pops
@@ -116,17 +128,34 @@ def _grouped_kernel_to_2d(node, spec) -> jax.Array:
     return blk
 
 
-def _write_grouped_grad_2d(node, spec, v_block) -> None:
-    """Inverse of _grouped_kernel_to_2d: write all groups' preconditioned
-    grads (g, out_g, d[+1]) back into the shared kernel/bias."""
-    kernel = node["kernel"]
-    kh, kw, cin_g, _ = kernel.shape
+def _grouped_2d_to_params(spec, v_block) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Inverse of _grouped_kernel_to_2d: (g, out_g, d[+1]) -> (kernel, bias)."""
     ng, og = spec.n_groups, spec.out_dim
+    bias = None
     if spec.has_bias:
-        node["bias"] = v_block[:, :, -1].reshape(ng * og)
+        bias = v_block[:, :, -1].reshape(ng * og)
         v_block = v_block[:, :, :-1]
+    kh, kw = spec.kernel_size
+    cin_g = v_block.shape[-1] // (kh * kw)
     blk = v_block.reshape(ng, og, kh, kw, cin_g).transpose(2, 3, 4, 0, 1)
-    node["kernel"] = blk.reshape(kh, kw, cin_g, ng * og)
+    return blk.reshape(kh, kw, cin_g, ng * og), bias
+
+
+def _write_grouped_grad_2d(node, spec, v_block) -> None:
+    """Write all groups' preconditioned grads back into the shared
+    kernel/bias."""
+    kernel, bias = _grouped_2d_to_params(spec, v_block)
+    node["kernel"] = kernel
+    if bias is not None:
+        node["bias"] = bias
+
+
+def _cond_or_call(gate, true_fn, false_fn):
+    """One hoisted lax.cond — or a direct call when the gate is statically
+    always-true (static_schedule with freq == 1)."""
+    if gate is None:
+        return true_fn()
+    return jax.lax.cond(gate, true_fn, false_fn)
 
 
 class BlockKFAC:
@@ -142,16 +171,21 @@ class BlockKFAC:
         config: KFACConfig = KFACConfig(),
         world_size: int = 1,
         dim_align: int = 8,
+        merge_flop_rate: float = 0.0,
+        merge_dispatch_cost: float = 0.0,
     ):
         """dim_align: factor dims are padded up to multiples of this before
-        bucketing; larger values merge more layers into fewer, bigger
-        batched ops (fewer op dispatches, more padding FLOPs — identity
-        padding keeps the math exact either way)."""
+        bucketing. merge_flop_rate/merge_dispatch_cost (>0 to enable) turn
+        on cost-model bucket packing (partition.pack_buckets): small buckets
+        merge when one fewer bucket's fixed dispatch cost beats the padding
+        FLOPs. Identity padding keeps the math exact either way."""
         self.specs = tuple(specs)
         self.config = config
         self.world_size = world_size
         self.buckets: List[Bucket] = make_buckets(
-            specs, world_size, dim_align=dim_align
+            specs, world_size, dim_align=dim_align,
+            merge_flop_rate=merge_flop_rate,
+            merge_dispatch_cost=merge_dispatch_cost,
         )
         # per-bucket static row metadata: real dims for trace corrections
         self._real_da = [
@@ -218,13 +252,13 @@ class BlockKFAC:
             specs,
         )
 
-    # ------------------------------------------------------------- step
+    # ------------------------------------------------- row/run iteration
 
     def _iter_row_blocks(self, bucket: Bucket):
         """Yield (kind, payload) over bucket rows, coalescing all groups of
         one grouped-conv module into a single block: ('pad', n) | ('single',
         spec) | ('grouped', [spec_g0..spec_gN-1]). Grouped rows of a module
-        are contiguous (make_buckets preserves insertion order)."""
+        are contiguous (make_buckets orders rows by shape key)."""
         i = 0
         rows = bucket.rows
         while i < len(rows):
@@ -254,6 +288,44 @@ class BlockKFAC:
                     continue
             yield ("single", spec)
             i += 1
+
+    @staticmethod
+    def _param_shape_key(spec: LayerSpec):
+        return (spec.kind, spec.kernel_size, spec.in_dim, spec.out_dim,
+                spec.has_bias)
+
+    def _iter_stack_runs(self, bucket: Bucket):
+        """Yield (kind, payload, pos): ('pad', n, pos) | ('grouped', specs,
+        pos) | ('run', [spec...], pos) where a run is a maximal sequence of
+        contiguous single layers with identical parameter shapes (stacked /
+        unstacked as ONE batched op)."""
+        pos = 0
+        run: List[LayerSpec] = []
+        run_pos = 0
+        for kind, payload in self._iter_row_blocks(bucket):
+            if kind == "single":
+                if run and self._param_shape_key(run[-1]) == self._param_shape_key(payload):
+                    run.append(payload)
+                else:
+                    if run:
+                        yield ("run", run, run_pos)
+                    run = [payload]
+                    run_pos = pos
+                pos += 1
+                continue
+            if run:
+                yield ("run", run, run_pos)
+                run = []
+            if kind == "pad":
+                yield ("pad", payload, pos)
+                pos += payload
+            else:
+                yield ("grouped", payload, pos)
+                pos += len(payload)
+        if run:
+            yield ("run", run, run_pos)
+
+    # ------------------------------------------------------------ factors
 
     def _fresh_bucket_factors(self, bucket: Bucket, acts, gs):
         """Stacked fresh factors [L, da, da]/[L, dg, dg]; grouped-conv
@@ -316,22 +388,434 @@ class BlockKFAC:
                 g_list.append(_embed_eye_batched(fg, bucket.dg))
         return jnp.concatenate(a_list), jnp.concatenate(g_list)
 
-    def _stack_grads(self, bucket: Bucket, grads):
+    # ------------------------------------------------- stack / unstack
+
+    def _stack_bucket(self, bucket: Bucket, tree) -> jax.Array:
+        """Stack one bucket's canonical 2-D layer matrices (grads or params)
+        into (L, dg, da), batching each equal-shape run as one op."""
         rows = []
-        for kind, payload in self._iter_row_blocks(bucket):
+        for kind, payload, _pos in self._iter_stack_runs(bucket):
             if kind == "pad":
                 rows.append(jnp.zeros((payload, bucket.dg, bucket.da)))
-            elif kind == "single":
-                spec = payload
-                g2d = grad_to_2d(spec, _get_path(grads, spec.param_path))
-                rows.append(_pad2d(g2d, bucket.dg, bucket.da)[None])
-            else:
-                specs = payload
-                s0 = specs[0]
-                node = _get_path(grads, s0.param_path)
+            elif kind == "grouped":
+                s0 = payload[0]
+                node = _get_path(tree, s0.param_path)
                 blk = _grouped_kernel_to_2d(node, s0)
                 rows.append(_pad2d_batched(blk, bucket.dg, bucket.da))
-        return jnp.concatenate(rows)
+            else:  # run of equal-shape singles
+                specs = payload
+                s0 = specs[0]
+                nodes = [_get_path(tree, s.param_path) for s in specs]
+                if len(specs) == 1:
+                    g2d = grad_to_2d(s0, nodes[0])
+                    rows.append(_pad2d(g2d, bucket.dg, bucket.da)[None])
+                    continue
+                kern = jnp.stack([n["kernel"] for n in nodes])
+                if s0.kind == DENSE:
+                    blk = jnp.swapaxes(kern, 1, 2)  # (n, dout, din)
+                else:
+                    n, kh, kw, cin, cout = kern.shape
+                    blk = jnp.swapaxes(
+                        kern.reshape(n, kh * kw * cin, cout), 1, 2
+                    )
+                if s0.has_bias:
+                    bias = jnp.stack([n["bias"] for n in nodes])
+                    blk = jnp.concatenate([blk, bias[:, :, None]], axis=2)
+                rows.append(_pad2d_batched(blk, bucket.dg, bucket.da))
+        return jnp.concatenate(rows) if len(rows) > 1 else rows[0]
+
+    def stack_grads(self, grads) -> List[jax.Array]:
+        """All buckets' gradients in canonical stacked form (the one
+        stack per step of the bucket-resident pipeline)."""
+        return [self._stack_bucket(b, grads) for b in self.buckets]
+
+    def _run_to_params(self, specs, vb):
+        """(n, dg_real, da_real) run block -> (kernels (n, ...), biases or
+        None), undoing the canonical 2-D mapping in one batched op."""
+        s0 = specs[0]
+        biases = None
+        if s0.has_bias:
+            biases = vb[:, :, -1]
+            vb = vb[:, :, :-1]
+        if s0.kind == DENSE:
+            kerns = jnp.swapaxes(vb, 1, 2)
+        else:
+            n = vb.shape[0]
+            kh, kw = s0.kernel_size
+            cin = s0.in_dim // (kh * kw)
+            kerns = jnp.swapaxes(vb, 1, 2).reshape(n, kh, kw, cin, s0.out_dim)
+        return kerns, biases
+
+    def _scatter_buckets(self, out, bucket_vals, write_fn, grouped_write_fn):
+        """Drive per-run batched writes of stacked values into a pytree."""
+        for bucket, v_full in zip(self.buckets, bucket_vals):
+            for kind, payload, pos in self._iter_stack_runs(bucket):
+                if kind == "pad":
+                    continue
+                if kind == "grouped":
+                    s0 = payload[0]
+                    ng = s0.n_groups
+                    vb = jax.lax.slice_in_dim(v_full, pos, pos + ng)[
+                        :, : s0.out_dim, : s0.grad_in_dim
+                    ]
+                    grouped_write_fn(s0, vb)
+                    continue
+                specs = payload
+                s0 = specs[0]
+                vb = jax.lax.slice_in_dim(v_full, pos, pos + len(specs))[
+                    :, : s0.out_dim, : s0.grad_in_dim
+                ]
+                kerns, biases = self._run_to_params(specs, vb)
+                for i, s in enumerate(specs):
+                    write_fn(s, kerns[i], biases[i] if biases is not None else None)
+
+    def unstack_into(self, out, bucket_vals, scale=None) -> None:
+        """Write stacked per-bucket values (optionally scaled) back into the
+        mutable pytree ``out`` (the preconditioned-grads write-back,
+        reference _update_grad_in_place inv.py:188-217)."""
+        if scale is not None:
+            bucket_vals = [v * scale for v in bucket_vals]
+
+        def write(s, kern, bias):
+            node = _get_path(out, s.param_path)
+            node["kernel"] = kern
+            if bias is not None:
+                node["bias"] = bias
+
+        def grouped_write(s0, vb):
+            _write_grouped_grad_2d(_get_path(out, s0.param_path), s0, vb)
+
+        self._scatter_buckets(out, bucket_vals, write, grouped_write)
+
+    def apply_deltas(self, params, bucket_deltas, scale) -> Any:
+        """params - scale * unstack(bucket_deltas) for every K-FAC-covered
+        parameter; other leaves are returned untouched. The bucket-resident
+        SGD apply: one batched slice/transpose per run, one subtract per
+        parameter leaf."""
+        out = jax.tree_util.tree_map(lambda x: x, params)
+        scaled = [scale * v for v in bucket_deltas]
+
+        def write(s, kern, bias):
+            node = _get_path(out, s.param_path)
+            node["kernel"] = node["kernel"] - kern
+            if bias is not None:
+                node["bias"] = node["bias"] - bias
+
+        def grouped_write(s0, vb):
+            node = _get_path(out, s0.param_path)
+            kern, bias = _grouped_2d_to_params(s0, vb)
+            node["kernel"] = node["kernel"] - kern
+            if bias is not None:
+                node["bias"] = node["bias"] - bias
+
+        self._scatter_buckets(out, scaled, write, grouped_write)
+        return out
+
+    def kfac_param_paths(self):
+        """Set of param-tree paths owned by the preconditioner (for masking
+        the first-order optimizer off these leaves)."""
+        return {s.param_path for s in self.specs}
+
+    # ------------------------------------------------------------- step
+
+    def _resolve_gates(self, step, fac_update_freq, kfac_update_freq):
+        """Gate values: None = statically always-on (no cond emitted)."""
+        cfg = self.config
+
+        def gate(static_freq, dyn):
+            if cfg.static_schedule and not isinstance(dyn, jax.Array):
+                freq = static_freq if dyn is None else int(dyn)
+                if freq <= 1:
+                    return None
+                return (step % freq) == 0
+            freq = static_freq if dyn is None else dyn
+            return (step % jnp.maximum(freq, 1)) == 0
+
+        do_fac = gate(cfg.fac_update_freq, fac_update_freq)
+        do_inv = gate(cfg.kfac_update_freq, kfac_update_freq)
+        do_prec = gate(cfg.pcg_precond_freq, None)
+        return do_fac, do_inv, do_prec
+
+    def step_core(
+        self,
+        state,
+        g_buckets: List[jax.Array],
+        acts,
+        gs,
+        *,
+        lr,
+        damping=None,
+        fac_update_freq=None,
+        kfac_update_freq=None,
+        axis: Optional[str] = None,
+    ):
+        """One bucketed K-FAC step on stacked gradients.
+
+        Returns (bucket_preds, new_state): preconditioned stacked gradients
+        (kl_clip nu already applied) and the new state. ``g_buckets`` must
+        be the FULL (unsharded) stacked gradients — in sharded mode each
+        device preconditions its local block and all-gathers.
+
+        Stage-major: one hoisted cond per gated stage across all buckets.
+        """
+        cfg = self.config
+        damping = cfg.damping if damping is None else damping
+        step = state["step"]
+        do_fac, do_inv, do_prec = self._resolve_gates(
+            step, fac_update_freq, kfac_update_freq
+        )
+        if isinstance(acts, dict) and COL_A in acts:
+            acts = acts[COL_A]
+        n_shards = self.world_size if axis is not None else 1
+        n_b = len(self.buckets)
+
+        # static per-bucket block geometry + dynamic offsets
+        blks = [b.n_rows // n_shards for b in self.buckets]
+        if axis is not None:
+            idx = jax.lax.axis_index(axis)
+            offsets = [idx * blk for blk in blks]
+        else:
+            offsets = [0] * n_b
+        real_da, real_dg = [], []
+        for b_idx in range(n_b):
+            rda = jnp.asarray(self._real_da[b_idx])
+            rdg = jnp.asarray(self._real_dg[b_idx])
+            if axis is not None:
+                rda = jax.lax.dynamic_slice_in_dim(rda, offsets[b_idx], blks[b_idx])
+                rdg = jax.lax.dynamic_slice_in_dim(rdg, offsets[b_idx], blks[b_idx])
+            real_da.append(rda)
+            real_dg.append(rdg)
+
+        entries = [dict(st) for st in state["buckets"]]
+
+        # ---- (1) factors: ONE cond across all buckets.
+        if not cfg.exclude_compute_factor:
+            has_comm = (
+                axis is not None
+                and cfg.strategy == "mpd"
+                and not cfg.exclude_communicate_factor
+            )
+
+            def fresh_all():
+                return [
+                    self._fresh_bucket_factors(b, acts, gs)
+                    for b in self.buckets
+                ]
+
+            if has_comm:
+                # GEMMs cond-gated (fresh-or-zeros), pmean unconditional
+                # (collectives can't live under data-dependent control
+                # flow), EMA where-masked.
+                def zeros_all():
+                    return [
+                        (
+                            jnp.zeros((b.n_rows, b.da, b.da)),
+                            jnp.zeros((b.n_rows, b.dg, b.dg)),
+                        )
+                        for b in self.buckets
+                    ]
+
+                fresh = _cond_or_call(do_fac, fresh_all, zeros_all)
+                fresh = [
+                    (jax.lax.pmean(fa, axis), jax.lax.pmean(fg, axis))
+                    for fa, fg in fresh
+                ]
+                for b_idx, (fa, fg) in enumerate(fresh):
+                    fa = jax.lax.dynamic_slice_in_dim(
+                        fa, offsets[b_idx], blks[b_idx]
+                    )
+                    fg = jax.lax.dynamic_slice_in_dim(
+                        fg, offsets[b_idx], blks[b_idx]
+                    )
+                    st = state["buckets"][b_idx]
+                    a_new = fops.ema_update(fa, st["A"], cfg.factor_decay)
+                    g_new = fops.ema_update(fg, st["G"], cfg.factor_decay)
+                    if do_fac is None:
+                        entries[b_idx]["A"], entries[b_idx]["G"] = a_new, g_new
+                    else:
+                        entries[b_idx]["A"] = jnp.where(do_fac, a_new, st["A"])
+                        entries[b_idx]["G"] = jnp.where(do_fac, g_new, st["G"])
+            else:
+                # dp (or single-program): no factor collective — the whole
+                # compute sits under one cond (skipped at TCov steps).
+                def fac_update():
+                    outs = []
+                    for b_idx, b in enumerate(self.buckets):
+                        fa, fg = self._fresh_bucket_factors(b, acts, gs)
+                        if axis is not None:
+                            fa = jax.lax.dynamic_slice_in_dim(
+                                fa, offsets[b_idx], blks[b_idx]
+                            )
+                            fg = jax.lax.dynamic_slice_in_dim(
+                                fg, offsets[b_idx], blks[b_idx]
+                            )
+                        st = state["buckets"][b_idx]
+                        outs.append(
+                            (
+                                fops.ema_update(fa, st["A"], cfg.factor_decay),
+                                fops.ema_update(fg, st["G"], cfg.factor_decay),
+                            )
+                        )
+                    return outs
+
+                def keep():
+                    return [
+                        (st["A"], st["G"]) for st in state["buckets"]
+                    ]
+
+                for b_idx, (a_new, g_new) in enumerate(
+                    _cond_or_call(do_fac, fac_update, keep)
+                ):
+                    entries[b_idx]["A"] = a_new
+                    entries[b_idx]["G"] = g_new
+
+        # ---- (2) inverse / eigen / pcg-preconditioner refresh:
+        # ONE cond across all buckets (local compute, SPMD-safe).
+        if not cfg.exclude_compute_inverse:
+            if cfg.inv_type == EIGEN:
+
+                def inv_all():
+                    outs = []
+                    for e in entries:
+                        da_, qa = cfg.symeig(e["A"])
+                        dg_, qg = cfg.symeig(e["G"])
+                        outs.append((da_, qa, dg_, qg))
+                    return outs
+
+                def keep_inv():
+                    return [
+                        (st["dA"], st["QA"], st["dG"], st["QG"])
+                        for st in state["buckets"]
+                    ]
+
+                for e, (da_, qa, dg_, qg) in zip(
+                    entries, _cond_or_call(do_inv, inv_all, keep_inv)
+                ):
+                    e["dA"], e["QA"], e["dG"], e["QG"] = da_, qa, dg_, qg
+            elif cfg.inv_type == PCG:
+
+                def prec_all():
+                    return [
+                        pcg_ops.damped_cholesky_factors(
+                            e["A"], e["G"], damping,
+                            real_da=real_da[b_idx], real_dg=real_dg[b_idx],
+                            dtype=cfg._pcg_dtype,
+                        )
+                        for b_idx, e in enumerate(entries)
+                    ]
+
+                def keep_prec():
+                    return [
+                        (st["cholA"], st["cholG"])
+                        for st in state["buckets"]
+                    ]
+
+                for e, (ca, cg_) in zip(
+                    entries, _cond_or_call(do_prec, prec_all, keep_prec)
+                ):
+                    e["cholA"], e["cholG"] = ca, cg_
+            else:
+
+                def inv_all():
+                    outs = []
+                    for b_idx, e in enumerate(entries):
+                        b = self.buckets[b_idx]
+                        # pi from the *real* traces (identity padding adds
+                        # (dim - real) to the raw trace; correct it).
+                        tr_a = (
+                            jnp.trace(e["A"], axis1=-2, axis2=-1)
+                            - (b.da - real_da[b_idx])
+                        ) / real_da[b_idx]
+                        tr_g = (
+                            jnp.trace(e["G"], axis1=-2, axis2=-1)
+                            - (b.dg - real_dg[b_idx])
+                        ) / real_dg[b_idx]
+                        pi = jnp.sqrt(tr_a / tr_g)
+                        sd = jnp.sqrt(damping)
+                        inv_a = lops.cholesky_inverse(
+                            e["A"]
+                            + (sd * pi)[:, None, None] * jnp.eye(b.da)
+                        )
+                        inv_g = lops.cholesky_inverse(
+                            e["G"]
+                            + (sd / pi)[:, None, None] * jnp.eye(b.dg)
+                        )
+                        outs.append((inv_a, inv_g))
+                    return outs
+
+                def keep_inv():
+                    return [
+                        (st["invA"], st["invG"]) for st in state["buckets"]
+                    ]
+
+                for e, (ia, ig) in zip(
+                    entries, _cond_or_call(do_inv, inv_all, keep_inv)
+                ):
+                    e["invA"], e["invG"] = ia, ig
+
+        # ---- (3) preconditioned gradients (batched per bucket) + kl_clip
+        preds: Optional[List[jax.Array]] = None
+        if not cfg.exclude_compute_inverse:
+            preds = []
+            vg_sum = jnp.zeros((), jnp.float32)
+            for b_idx, e in enumerate(entries):
+                g2d_full = g_buckets[b_idx]
+                g2d_my = (
+                    jax.lax.dynamic_slice_in_dim(
+                        g2d_full, offsets[b_idx], blks[b_idx]
+                    )
+                    if axis is not None
+                    else g2d_full
+                )
+                if cfg.inv_type == EIGEN:
+                    v_my = pops.precond_eigen(
+                        g2d_my, e["QA"], e["dA"], e["QG"], e["dG"],
+                        damping, precision=cfg.precision,
+                    )
+                elif cfg.inv_type == PCG:
+                    v_my = pcg_ops.pcg_kron_solve(
+                        g2d_my, e["A"], e["G"], e["cholA"], e["cholG"],
+                        damping, iters=cfg.pcg_iters,
+                        precision=cfg.precision,
+                    )
+                else:
+                    v_my = pops.precond_inverse(
+                        g2d_my, e["invA"], e["invG"],
+                        precision=cfg.precision,
+                    )
+                if axis is not None:
+                    # the pred "broadcast" (reference inv.py:164-175)
+                    v_full = jax.lax.all_gather(v_my, axis, axis=0, tiled=True)
+                else:
+                    v_full = v_my
+                preds.append(v_full)
+                if cfg.kl_clip is not None:
+                    vg_sum = vg_sum + jnp.sum(v_full * g2d_full) * (lr**2)
+
+            # ---- (4) kl_clip rescale (reference inv.py:188-217)
+            if cfg.kl_clip is not None and not cfg.exclude_communicate_inverse:
+                nu = pops.kl_clip_nu(vg_sum, cfg.kl_clip)
+                preds = [v * nu for v in preds]
+
+        new_state = {"step": step + 1, "buckets": entries}
+        return preds, new_state
+
+    def step_buckets(
+        self, state, g_buckets, acts, gs, *, lr, damping=None,
+        fac_update_freq=None, kfac_update_freq=None,
+        axis: Optional[str] = None,
+    ):
+        """Bucket-resident step: stacked grads in, preconditioned stacked
+        grads out (kl-clipped). When the inverse stage is excluded the raw
+        stacked grads pass through."""
+        preds, new_state = self.step_core(
+            state, g_buckets, acts, gs, lr=lr, damping=damping,
+            fac_update_freq=fac_update_freq,
+            kfac_update_freq=kfac_update_freq, axis=axis,
+        )
+        if preds is None:
+            preds = g_buckets
+        return preds, new_state
 
     def step(
         self,
@@ -346,7 +830,8 @@ class BlockKFAC:
         kfac_update_freq=None,
         axis: Optional[str] = None,
     ):
-        """One bucketed K-FAC step.
+        """One bucketed K-FAC step on a gradient pytree (stack → step_core →
+        unstack; the preconditioner.KFAC-compatible API).
 
         With ``axis`` set, must be called inside shard_map over that mesh
         axis: acts/gs are the device-local batch shard, grads are the
@@ -356,206 +841,13 @@ class BlockKFAC:
         axis — the reference's factor allreduce) or 'dp' (each owner uses
         its local-batch factors — DP-KFAC, zero factor communication).
         """
-        cfg = self.config
-        damping = cfg.damping if damping is None else damping
-        fac_freq = cfg.fac_update_freq if fac_update_freq is None else fac_update_freq
-        inv_freq = cfg.kfac_update_freq if kfac_update_freq is None else kfac_update_freq
-        step = state["step"]
-        do_fac = (step % jnp.maximum(fac_freq, 1)) == 0
-        do_inv = (step % jnp.maximum(inv_freq, 1)) == 0
-
-        if isinstance(acts, dict) and COL_A in acts:
-            acts = acts[COL_A]
-        n_shards = self.world_size if axis is not None else 1
-
-        new_buckets = []
-        preds_full = []
-        vg_sum = jnp.zeros((), jnp.float32)
-
-        for b_idx, bucket in enumerate(self.buckets):
-            st = state["buckets"][b_idx]
-            entry = dict(st)
-            L = bucket.n_rows
-            blk = L // n_shards
-            if axis is not None:
-                offset = jax.lax.axis_index(axis) * blk
-            else:
-                offset = 0
-            real_da = jnp.asarray(self._real_da[b_idx])
-            real_dg = jnp.asarray(self._real_dg[b_idx])
-            if axis is not None:
-                real_da = jax.lax.dynamic_slice_in_dim(real_da, offset, blk)
-                real_dg = jax.lax.dynamic_slice_in_dim(real_dg, offset, blk)
-
-            # ---- (1) factors. dp has no factor collective, so the whole
-            # compute is lax.cond-gated (skipped at TCov-amortized steps);
-            # mpd's pmean must stay outside data-dependent control flow, so
-            # it computes unconditionally and where-masks the EMA.
-            if not cfg.exclude_compute_factor:
-                has_comm = (
-                    axis is not None
-                    and cfg.strategy == "mpd"
-                    and not cfg.exclude_communicate_factor
-                )
-
-                def fac_update(st=st, bucket=bucket, offset=offset, blk=blk,
-                               has_comm=has_comm):
-                    fresh_a, fresh_g = self._fresh_bucket_factors(
-                        bucket, acts, gs
-                    )
-                    if has_comm:
-                        fresh_a = jax.lax.pmean(fresh_a, axis)
-                        fresh_g = jax.lax.pmean(fresh_g, axis)
-                    if axis is not None:
-                        fresh_a = jax.lax.dynamic_slice_in_dim(
-                            fresh_a, offset, blk
-                        )
-                        fresh_g = jax.lax.dynamic_slice_in_dim(
-                            fresh_g, offset, blk
-                        )
-                    return (
-                        fops.ema_update(fresh_a, st["A"], cfg.factor_decay),
-                        fops.ema_update(fresh_g, st["G"], cfg.factor_decay),
-                    )
-
-                if has_comm:
-                    a_new, g_new = fac_update()
-                    entry["A"] = jnp.where(do_fac, a_new, st["A"])
-                    entry["G"] = jnp.where(do_fac, g_new, st["G"])
-                else:
-                    entry["A"], entry["G"] = jax.lax.cond(
-                        do_fac, fac_update, lambda: (st["A"], st["G"])
-                    )
-
-            # ---- (2) inverse / eigendecomposition (cond-gated, local)
-            if not cfg.exclude_compute_inverse:
-                if cfg.inv_type == EIGEN:
-
-                    def inv_update(entry=entry):
-                        da_, qa = cfg.symeig(entry["A"])
-                        dg_, qg = cfg.symeig(entry["G"])
-                        return da_, qa, dg_, qg
-
-                    entry["dA"], entry["QA"], entry["dG"], entry["QG"] = (
-                        jax.lax.cond(
-                            do_inv,
-                            inv_update,
-                            lambda: (st["dA"], st["QA"], st["dG"], st["QG"]),
-                        )
-                    )
-                elif cfg.inv_type == PCG:
-                    do_prec = (
-                        step % jnp.maximum(cfg.pcg_precond_freq, 1)
-                    ) == 0
-
-                    def inv_update(entry=entry, real_da=real_da,
-                                   real_dg=real_dg):
-                        return pcg_ops.damped_cholesky_factors(
-                            entry["A"], entry["G"], damping,
-                            real_da=real_da, real_dg=real_dg,
-                            dtype=cfg._pcg_dtype,
-                        )
-
-                    entry["cholA"], entry["cholG"] = jax.lax.cond(
-                        do_prec, inv_update,
-                        lambda: (st["cholA"], st["cholG"]),
-                    )
-                else:
-
-                    def inv_update(entry=entry, real_da=real_da, real_dg=real_dg):
-                        # pi from the *real* traces (identity padding adds
-                        # (dim - real) to the raw trace; correct it).
-                        tr_a = (
-                            jnp.trace(entry["A"], axis1=-2, axis2=-1)
-                            - (bucket.da - real_da)
-                        ) / real_da
-                        tr_g = (
-                            jnp.trace(entry["G"], axis1=-2, axis2=-1)
-                            - (bucket.dg - real_dg)
-                        ) / real_dg
-                        pi = jnp.sqrt(tr_a / tr_g)
-                        sd = jnp.sqrt(damping)
-                        inv_a = lops.cholesky_inverse(
-                            entry["A"]
-                            + (sd * pi)[:, None, None] * jnp.eye(bucket.da)
-                        )
-                        inv_g = lops.cholesky_inverse(
-                            entry["G"]
-                            + (sd / pi)[:, None, None] * jnp.eye(bucket.dg)
-                        )
-                        return inv_a, inv_g
-
-                    entry["invA"], entry["invG"] = jax.lax.cond(
-                        do_inv, inv_update, lambda: (st["invA"], st["invG"])
-                    )
-
-                # ---- (3) preconditioned gradients (batched)
-                g2d_full = self._stack_grads(bucket, grads)
-                g2d_my = (
-                    jax.lax.dynamic_slice_in_dim(g2d_full, offset, blk)
-                    if axis is not None
-                    else g2d_full
-                )
-                if cfg.inv_type == EIGEN:
-                    v_my = pops.precond_eigen(
-                        g2d_my,
-                        entry["QA"],
-                        entry["dA"],
-                        entry["QG"],
-                        entry["dG"],
-                        damping,
-                        precision=cfg.precision,
-                    )
-                elif cfg.inv_type == PCG:
-                    v_my = pcg_ops.pcg_kron_solve(
-                        g2d_my, entry["A"], entry["G"], entry["cholA"],
-                        entry["cholG"], damping, iters=cfg.pcg_iters,
-                        precision=cfg.precision,
-                    )
-                else:
-                    v_my = pops.precond_inverse(
-                        g2d_my, entry["invA"], entry["invG"],
-                        precision=cfg.precision,
-                    )
-                if axis is not None:
-                    # the pred "broadcast" (reference inv.py:164-175)
-                    v_full = jax.lax.all_gather(v_my, axis, axis=0, tiled=True)
-                else:
-                    v_full = v_my
-                preds_full.append(v_full)
-                if cfg.kl_clip is not None:
-                    vg_sum = vg_sum + jnp.sum(v_full * g2d_full) * (lr**2)
-
-            new_buckets.append(entry)
-
-        # ---- (4) kl_clip + unstack into the grads pytree
+        g_buckets = self.stack_grads(grads)
+        preds, new_state = self.step_core(
+            state, g_buckets, acts, gs, lr=lr, damping=damping,
+            fac_update_freq=fac_update_freq,
+            kfac_update_freq=kfac_update_freq, axis=axis,
+        )
         out = jax.tree_util.tree_map(lambda x: x, grads)
-        if not cfg.exclude_compute_inverse:
-            if cfg.kl_clip is not None and not cfg.exclude_communicate_inverse:
-                nu = pops.kl_clip_nu(vg_sum, cfg.kl_clip)
-            else:
-                nu = jnp.ones((), jnp.float32)
-            for bucket, v_full in zip(self.buckets, preds_full):
-                pos = 0
-                for kind, payload in self._iter_row_blocks(bucket):
-                    if kind == "pad":
-                        pos += payload
-                    elif kind == "single":
-                        spec = payload
-                        v = v_full[pos][: spec.out_dim, : spec.grad_in_dim]
-                        write_grad_2d(
-                            _get_path(out, spec.param_path), spec, v * nu
-                        )
-                        pos += 1
-                    else:  # grouped module: one batched write-back
-                        s0 = payload[0]
-                        ng = s0.n_groups
-                        vb = v_full[pos : pos + ng][
-                            :, : s0.out_dim, : s0.grad_in_dim
-                        ]
-                        _write_grouped_grad_2d(
-                            _get_path(out, s0.param_path), s0, vb * nu
-                        )
-                        pos += ng
-
-        return out, {"step": step + 1, "buckets": new_buckets}
+        if preds is not None:
+            self.unstack_into(out, preds)
+        return out, new_state

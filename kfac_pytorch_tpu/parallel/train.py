@@ -43,14 +43,22 @@ def make_sharded_train_step(
     loss_fn: Optional[Callable] = None,
     label_smoothing: float = 0.0,
     train_kwargs: Optional[Dict[str, Any]] = None,
+    n_accum: int = 1,
 ):
     """Build a jitted shard_map train step over ``mesh``.
 
-    ``local_perturb_template`` must be shaped for the *device-local* batch
-    (global_batch / mesh_size); required when kfac is given.
-    ``state_template`` (e.g. the initial TrainState) supplies the pytree
-    structure for sharding specs: params/opt_state/model_state replicated,
-    K-FAC bucket arrays sharded on their stacked-layer axis.
+    ``local_perturb_template`` must be shaped for the *device-local MICRO
+    batch* (global_batch / mesh_size / n_accum); required when kfac is
+    given. ``state_template`` (e.g. the initial TrainState) supplies the
+    pytree structure for sharding specs: params/opt_state/model_state
+    replicated, K-FAC bucket arrays sharded on their stacked-layer axis.
+
+    ``n_accum > 1`` is the reference's --batches-per-allreduce
+    (pytorch_imagenet_resnet.py:355-367): each device scans over n_accum
+    micro-batches of its local shard accumulating raw gradients; the
+    gradient pmean, K-FAC preconditioning, and optimizer update run ONCE on
+    the accumulated gradient (curvature statistics come from the last
+    micro-batch, matching the reference's overwrite-on-forward hooks).
     """
     train_kwargs = dict(train_kwargs or {})
     if loss_fn is None:
@@ -108,7 +116,8 @@ def make_sharded_train_step(
             logits, acts, new_model_state = out, None, model_state
         return loss_fn(logits, y), (logits, acts, new_model_state)
 
-    def _local_step(state: TrainState, batch, scalars: KFACScalars):
+    def _grad_one(params, model_state, batch):
+        """One micro-batch forward/backward; returns grads + capture."""
         if kfac is not None:
             perturbs = jax.tree_util.tree_map(
                 lambda s: jnp.zeros(s.shape, s.dtype), perturb_shapes
@@ -116,14 +125,68 @@ def make_sharded_train_step(
             (loss, (logits, acts, model_state)), (grads, gs) = (
                 jax.value_and_grad(
                     _loss_with_capture, argnums=(0, 1), has_aux=True
-                )(state.params, perturbs, state.model_state, batch)
+                )(params, perturbs, model_state, batch)
             )
         else:
             (loss, (logits, _, model_state)), grads = jax.value_and_grad(
                 lambda p, ms, b: _loss_with_capture(p, None, ms, b),
                 has_aux=True,
-            )(state.params, state.model_state, batch)
+            )(params, model_state, batch)
             gs, acts = None, None
+        return loss, logits, grads, acts, gs, model_state
+
+    def _local_step(state: TrainState, batch, scalars: KFACScalars):
+        if n_accum <= 1:
+            loss, logits, grads, acts, gs, model_state = _grad_one(
+                state.params, state.model_state, batch
+            )
+            acc = jnp.mean(
+                (jnp.argmax(logits, -1) == batch[1]).astype(jnp.float32)
+            )
+        else:
+            x, y = batch
+            micro = x.shape[0] // n_accum
+            xs = x.reshape((n_accum, micro) + x.shape[1:])
+            ys = y.reshape((n_accum, micro) + y.shape[1:])
+
+            def body(carry, chunk):
+                acc_grads, _, _, model_state = carry
+                loss, logits, grads, acts, gs, model_state = _grad_one(
+                    state.params, model_state, chunk
+                )
+                acc_grads = jax.tree_util.tree_map(
+                    lambda a, g: a + g / n_accum, acc_grads, grads
+                )
+                m = {
+                    "loss": loss,
+                    "acc": jnp.mean(
+                        (jnp.argmax(logits, -1) == chunk[1]).astype(
+                            jnp.float32
+                        )
+                    ),
+                }
+                return (acc_grads, acts, gs, model_state), m
+
+            zero_grads = jax.tree_util.tree_map(
+                jnp.zeros_like, state.params
+            )
+            shapes = jax.eval_shape(
+                lambda: _grad_one(
+                    state.params, state.model_state, (xs[0], ys[0])
+                )
+            )
+            zeros_of = lambda t: jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), t
+            )
+            carry0 = (
+                zero_grads, zeros_of(shapes[3]), zeros_of(shapes[4]),
+                state.model_state,
+            )
+            (grads, acts, gs, model_state), ms = jax.lax.scan(
+                body, carry0, (xs, ys)
+            )
+            loss, acc = jnp.mean(ms["loss"]), jnp.mean(ms["acc"])
+            logits = None
 
         # gradient data-parallel allreduce (Horovod equivalent)
         grads = jax.lax.pmean(grads, axis)
@@ -150,12 +213,7 @@ def make_sharded_train_step(
         params = optax.apply_updates(state.params, updates)
         metrics = {
             "loss": jax.lax.pmean(loss, axis),
-            "accuracy": jax.lax.pmean(
-                jnp.mean(
-                    (jnp.argmax(logits, -1) == batch[1]).astype(jnp.float32)
-                ),
-                axis,
-            ),
+            "accuracy": jax.lax.pmean(acc, axis),
         }
         return (
             TrainState(

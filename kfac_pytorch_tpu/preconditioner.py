@@ -175,6 +175,14 @@ class KFACConfig:
     kl_clip: Optional[float] = 0.001
     factor_decay: float = 0.95
     eps: float = 1e-10
+    # Static update schedule: when True, fac/kfac_update_freq (and
+    # pcg_precond_freq) are treated as compile-time Python ints — a freq of
+    # 1 emits NO lax.cond at all (the canonical TCov=TInv=1 configs,
+    # reference train_cifar10.sh:18-20, compile to straight-line code; conds
+    # measured ~27ms/step of pure overhead in round 1, BENCH_NOTES.md).
+    # Dynamic (traced) freq overrides passed to step() fall back to runtime
+    # gating even when this is set.
+    static_schedule: bool = False
     # exclude_parts ablation switches (base.py:96-99)
     exclude_compute_factor: bool = False
     exclude_communicate_factor: bool = False
@@ -360,20 +368,49 @@ class KFAC:
                 a = _get_path(acts, spec.path)["a"]
                 g = _get_path(gs, spec.path)["p"]
 
-                def fac_update(a=a, g=g, spec=spec, st=st):
-                    A = self._compute_a(spec, a)
-                    G = self._compute_g(spec, g)
-                    if factor_mean_axis is not None and not cfg.exclude_communicate_factor:
-                        A = jax.lax.pmean(A, factor_mean_axis)
-                        G = jax.lax.pmean(G, factor_mean_axis)
-                    return (
-                        fops.ema_update(A, st["A"], cfg.factor_decay),
-                        fops.ema_update(G, st["G"], cfg.factor_decay),
+                if factor_mean_axis is not None and not cfg.exclude_communicate_factor:
+                    # MPD factor allreduce (inv.py:94-103). Collectives must
+                    # not sit under data-dependent control flow (SPMD
+                    # deadlock), so the GEMMs are cond-gated to fresh-or-
+                    # zeros, the pmean runs unconditionally, and the EMA is
+                    # where-masked — TCov amortization still skips the GEMM
+                    # cost.
+                    A, G = jax.lax.cond(
+                        do_fac,
+                        lambda a=a, g=g, spec=spec: (
+                            self._compute_a(spec, a),
+                            self._compute_g(spec, g),
+                        ),
+                        lambda st=st: (
+                            jnp.zeros_like(st["A"]),
+                            jnp.zeros_like(st["G"]),
+                        ),
                     )
+                    A = jax.lax.pmean(A, factor_mean_axis)
+                    G = jax.lax.pmean(G, factor_mean_axis)
+                    entry["A"] = jnp.where(
+                        do_fac,
+                        fops.ema_update(A, st["A"], cfg.factor_decay),
+                        st["A"],
+                    )
+                    entry["G"] = jnp.where(
+                        do_fac,
+                        fops.ema_update(G, st["G"], cfg.factor_decay),
+                        st["G"],
+                    )
+                else:
 
-                entry["A"], entry["G"] = jax.lax.cond(
-                    do_fac, fac_update, lambda: (st["A"], st["G"])
-                )
+                    def fac_update(a=a, g=g, spec=spec, st=st):
+                        A = self._compute_a(spec, a)
+                        G = self._compute_g(spec, g)
+                        return (
+                            fops.ema_update(A, st["A"], cfg.factor_decay),
+                            fops.ema_update(G, st["G"], cfg.factor_decay),
+                        )
+
+                    entry["A"], entry["G"] = jax.lax.cond(
+                        do_fac, fac_update, lambda: (st["A"], st["G"])
+                    )
 
             # (2) compute inverse / eigendecomposition
             if not cfg.exclude_compute_inverse:

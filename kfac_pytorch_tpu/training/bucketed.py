@@ -1,0 +1,225 @@
+"""Bucket-resident training step: K-FAC + SGD momentum in stacked form.
+
+Round-1 profiling (BENCH_NOTES.md) showed the K-FAC step overhead was
+dominated by a per-layer op tail: stack/unstack of every layer gradient,
+per-layer optimizer updates, and per-bucket conds — ~6000 dispatches of
+~15us. This trainer keeps gradients BUCKET-RESIDENT across the whole step:
+
+  forward/backward (capture a, g)
+  -> stack grads into buckets            ONE batched op per equal-shape run
+  -> K-FAC factors/inverse/precond/kl    batched per bucket (BlockKFAC
+                                         .step_buckets, stage-major conds)
+  -> SGD momentum (+ weight decay)       in bucket form: 2-3 ops per BUCKET
+                                         instead of 2-3 ops per PARAMETER
+  -> apply deltas to params              one batched slice/reshape per run,
+                                         one subtract per parameter leaf
+
+Non-K-FAC parameters (BatchNorm scales/biases, excluded layers) go through
+a plain momentum-SGD tree update, exactly like the SGD control arm.
+
+Semantics parity: the composite update equals
+``optax.sgd(lr, momentum)`` (reference torch.optim.SGD,
+examples/pytorch_cifar10_resnet.py:226-231) applied to the kl-clipped
+preconditioned gradients — the reference pipeline where KFAC.step overwrites
+``.grad`` and optimizer.step() consumes it (base.py:185-230) — verified
+against the unbucketed trainer in tests/test_bucketed.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from kfac_pytorch_tpu.capture import COL_A, COL_G
+from kfac_pytorch_tpu.parallel.strategies import BlockKFAC
+from kfac_pytorch_tpu.training.loop import KFACScalars, softmax_cross_entropy
+
+
+@struct.dataclass
+class BucketedTrainState:
+    params: Any
+    mom_buckets: List[jax.Array]  # SGD momentum, stacked bucket form
+    other_mom: Any  # momentum tree for non-K-FAC leaves (scalars elsewhere)
+    kfac_state: Any
+    model_state: Any = struct.field(default_factory=dict)
+
+
+def kfac_leaf_mask(kfac: BlockKFAC, params) -> Any:
+    """Pytree of Python bools over params leaves: True where the leaf is a
+    K-FAC-preconditioned kernel/bias (static — resolved at trace time)."""
+    owned = kfac.kfac_param_paths()
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
+        return path[:-1] in owned
+
+    return walk(params, ())
+
+
+def init_bucketed_state(
+    kfac: BlockKFAC, params, kfac_state=None, model_state=None
+) -> BucketedTrainState:
+    mask = kfac_leaf_mask(kfac, params)
+    mom_buckets = [
+        jnp.zeros((b.n_rows, b.dg, b.da)) for b in kfac.buckets
+    ]
+    other_mom = jax.tree_util.tree_map(
+        lambda p, k: jnp.zeros(()) if k else jnp.zeros_like(p), params, mask
+    )
+    return BucketedTrainState(
+        params=params,
+        mom_buckets=mom_buckets,
+        other_mom=other_mom,
+        kfac_state=kfac_state if kfac_state is not None else kfac.init_state(),
+        model_state=model_state or {},
+    )
+
+
+def make_bucketed_train_step(
+    model,
+    kfac: BlockKFAC,
+    *,
+    momentum: float = 0.9,
+    weight_decay: float = 0.0,
+    nesterov: bool = False,
+    loss_fn: Optional[Callable] = None,
+    label_smoothing: float = 0.0,
+    perturb_template=None,
+    train_kwargs: Optional[Dict[str, Any]] = None,
+    axis: Optional[str] = None,
+):
+    """Build the bucket-resident train step.
+
+    Returns ``train_step(state, batch, scalars) -> (state, metrics)``.
+    With ``axis`` set the step must run inside shard_map over that mesh
+    axis (gradients are pmean'd over it; K-FAC runs sharded).
+    """
+    train_kwargs = dict(train_kwargs or {})
+    if loss_fn is None:
+        loss_fn = lambda logits, labels: softmax_cross_entropy(
+            logits, labels, label_smoothing
+        )
+    if perturb_template is None:
+        raise ValueError("perturb_template is required")
+    perturb_shapes = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), perturb_template
+    )
+    mask_cache = {}
+
+    def _loss_with_capture(params, perturbs, model_state, batch):
+        x, y = batch
+        xs = x if isinstance(x, tuple) else (x,)
+        variables = {"params": params, **model_state, COL_G: perturbs}
+        mutable = [COL_A] + list(model_state.keys())
+        logits, muts = model.apply(
+            variables, *xs, mutable=mutable, **train_kwargs
+        )
+        acts = muts.get(COL_A)
+        new_model_state = {k: v for k, v in muts.items() if k != COL_A}
+        return loss_fn(logits, y), (logits, acts, new_model_state)
+
+    def train_step(state: BucketedTrainState, batch, scalars: KFACScalars):
+        mask = mask_cache.setdefault(
+            "mask", kfac_leaf_mask(kfac, state.params)
+        )
+        perturbs = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), perturb_shapes
+        )
+        (loss, (logits, acts, model_state)), (grads, gs) = jax.value_and_grad(
+            _loss_with_capture, argnums=(0, 1), has_aux=True
+        )(state.params, perturbs, state.model_state, batch)
+
+        if axis is not None:
+            grads = jax.lax.pmean(grads, axis)
+            model_state = jax.lax.pmean(model_state, axis)
+
+        # one stack per step; everything below is bucket-resident
+        g_buckets = kfac.stack_grads(grads)
+        static = kfac.config.static_schedule
+        preds, kfac_state = kfac.step_buckets(
+            state.kfac_state,
+            g_buckets,
+            acts,
+            gs,
+            lr=scalars.lr,
+            damping=scalars.damping,
+            fac_update_freq=None if static else scalars.fac_update_freq,
+            kfac_update_freq=None if static else scalars.kfac_update_freq,
+            axis=axis,
+        )
+
+        # SGD with momentum (+ optional weight decay), bucket form.
+        # torch.optim.SGD semantics: d = v + wd*p; m = mu*m + d;
+        # update = m (or d + mu*m for nesterov); p -= lr*update.
+        if weight_decay:
+            p_buckets = [
+                kfac._stack_bucket(b, state.params) for b in kfac.buckets
+            ]
+            preds = [
+                v + weight_decay * p for v, p in zip(preds, p_buckets)
+            ]
+        mom_buckets = [
+            momentum * m + v for m, v in zip(state.mom_buckets, preds)
+        ]
+        if nesterov:
+            deltas = [
+                v + momentum * m for v, m in zip(preds, mom_buckets)
+            ]
+        else:
+            deltas = mom_buckets
+        params = kfac.apply_deltas(state.params, deltas, scalars.lr)
+
+        # non-K-FAC leaves: plain momentum SGD (mask is static, so K-FAC
+        # leaves trace straight through with zero added ops)
+        def mom_upd(g, p, m, is_kfac):
+            if is_kfac:
+                return m
+            if weight_decay:
+                g = g + weight_decay * p
+            return momentum * m + g
+
+        other_mom = jax.tree_util.tree_map(
+            mom_upd, grads, state.params, state.other_mom, mask
+        )
+
+        def par_upd(p, g, m, is_kfac):
+            if is_kfac:
+                return p  # already updated via apply_deltas
+            if nesterov:
+                if weight_decay:
+                    g = g + weight_decay * p
+                d = g + momentum * m
+            else:
+                d = m
+            return p - scalars.lr * d
+
+        params = jax.tree_util.tree_map(
+            par_upd, params, grads, other_mom, mask
+        )
+
+        metrics = {
+            "loss": loss,
+            "accuracy": jnp.mean(
+                (jnp.argmax(logits, axis=-1) == batch[1]).astype(jnp.float32)
+            ),
+        }
+        if axis is not None:
+            metrics = jax.tree_util.tree_map(
+                lambda x: jax.lax.pmean(x, axis), metrics
+            )
+        return (
+            BucketedTrainState(
+                params=params,
+                mom_buckets=mom_buckets,
+                other_mom=other_mom,
+                kfac_state=kfac_state,
+                model_state=model_state,
+            ),
+            metrics,
+        )
+
+    return train_step

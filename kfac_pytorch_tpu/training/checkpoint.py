@@ -47,9 +47,6 @@ def save_checkpoint(base: str, state, epoch: int, keep: int = 3) -> str:
     ckptr.save(path, jax.device_get(state), force=True)
     ckptr.wait_until_finished()
     # prune old checkpoints
-    existing = sorted(
-        e for e in (latest_epoch(base),) if e is not None
-    )  # noqa: F841 (latest only used below)
     all_epochs = []
     for name in os.listdir(base):
         m = re.fullmatch(r"checkpoint-(\d+)", name)

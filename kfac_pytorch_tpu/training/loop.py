@@ -202,6 +202,158 @@ def make_train_step(
     return train_step
 
 
+def make_grad_accum_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    kfac: Optional[KFAC],
+    n_accum: int,
+    *,
+    loss_fn: Optional[Callable] = None,
+    label_smoothing: float = 0.0,
+    perturb_template=None,
+    train_kwargs: Optional[Dict[str, Any]] = None,
+):
+    """Gradient-accumulation train step (the reference's
+    ``--batches-per-allreduce``, pytorch_imagenet_resnet.py:355-367).
+
+    The batch's leading dim must be ``n_accum * micro_batch``. Raw gradients
+    are accumulated (averaged) across the micro-batches with ``lax.scan``;
+    K-FAC preconditioning and the optimizer update run ONCE on the
+    accumulated gradient — matching the reference, where backward() sums
+    into ``.grad`` across sub-batches and preconditioner.step() +
+    optimizer.step() run once per outer iteration. K-FAC curvature
+    statistics (a, g) come from the last micro-batch, exactly like the
+    reference's hooks (each forward overwrites ``m_a``/``m_g``,
+    base.py:142-149, so only the final sub-batch's tensors survive to
+    step()). ``perturb_template`` must be shaped for the MICRO batch.
+    """
+    if n_accum < 1:
+        raise ValueError("n_accum must be >= 1")
+    inner = make_train_step(
+        model, tx, kfac, loss_fn=loss_fn, label_smoothing=label_smoothing,
+        perturb_template=perturb_template, train_kwargs=train_kwargs,
+    )
+    if n_accum == 1:
+        return inner
+
+    train_kwargs = dict(train_kwargs or {})
+    if loss_fn is None:
+        loss_fn = lambda logits, labels: softmax_cross_entropy(
+            logits, labels, label_smoothing
+        )
+    if kfac is not None and perturb_template is None:
+        raise ValueError("kfac given but perturb_template missing")
+    perturb_shapes = (
+        jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), perturb_template
+        )
+        if perturb_template is not None
+        else None
+    )
+
+    def _loss(params, perturbs, model_state, batch):
+        x, y = batch
+        xs = x if isinstance(x, tuple) else (x,)
+        variables = {"params": params, **model_state}
+        mutable = list(model_state.keys())
+        if perturbs is not None:
+            variables[capture.COL_G] = perturbs
+            mutable = [COL_A] + mutable
+        out = model.apply(
+            variables, *xs, mutable=mutable if mutable else False,
+            **train_kwargs
+        )
+        if mutable:
+            logits, muts = out
+            acts = muts.get(COL_A)
+            new_model_state = {k: v for k, v in muts.items() if k != COL_A}
+        else:
+            logits, acts, new_model_state = out, None, model_state
+        loss = loss_fn(logits, y)
+        return loss, (logits, acts, new_model_state)
+
+    def train_step(state: TrainState, batch, scalars: KFACScalars, rng=None):
+        x, y = batch
+        micro = x.shape[0] // n_accum
+        xs = x.reshape((n_accum, micro) + x.shape[1:])
+        ys = y.reshape((n_accum, micro) + y.shape[1:])
+
+        def body(carry, chunk):
+            acc_grads, _, model_state = carry
+            cx, cy = chunk
+            if kfac is not None:
+                perturbs = jax.tree_util.tree_map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), perturb_shapes
+                )
+                (loss, (logits, acts, model_state)), (grads, gs) = (
+                    jax.value_and_grad(_loss, argnums=(0, 1), has_aux=True)(
+                        state.params, perturbs, model_state, (cx, cy)
+                    )
+                )
+                cap = (acts, gs)
+            else:
+                (loss, (logits, _, model_state)), grads = jax.value_and_grad(
+                    lambda p, ms, b: _loss(p, None, ms, b), has_aux=True
+                )(state.params, model_state, (cx, cy))
+                cap = carry[1]
+            acc_grads = jax.tree_util.tree_map(
+                lambda a, g: a + g / n_accum, acc_grads, grads
+            )
+            metrics = {
+                "loss": loss,
+                "accuracy": jnp.mean(
+                    (jnp.argmax(logits, -1) == cy).astype(jnp.float32)
+                ),
+            }
+            return (acc_grads, cap, model_state), metrics
+
+        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        if kfac is not None:
+            cap0 = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), perturb_shapes
+            )
+            # acts template from one abstract chunk apply
+            acts0 = jax.eval_shape(
+                lambda: _loss(
+                    state.params, cap0, state.model_state, (xs[0], ys[0])
+                )
+            )[1][1]
+            acts0 = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), acts0
+            )
+            carry0 = (zero_grads, (acts0, cap0), state.model_state)
+        else:
+            carry0 = (zero_grads, None, state.model_state)
+        (grads, cap, model_state), metrics = jax.lax.scan(
+            body, carry0, (xs, ys)
+        )
+
+        if kfac is not None:
+            acts, gs = cap
+            precond_grads, kfac_state = kfac.step(
+                state.kfac_state, grads, acts, gs,
+                lr=scalars.lr, damping=scalars.damping,
+                fac_update_freq=scalars.fac_update_freq,
+                kfac_update_freq=scalars.kfac_update_freq,
+            )
+        else:
+            precond_grads, kfac_state = grads, state.kfac_state
+
+        updates, opt_state = tx.update(
+            precond_grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(
+                params=params, opt_state=opt_state, kfac_state=kfac_state,
+                model_state=model_state,
+            ),
+            jax.tree_util.tree_map(jnp.mean, metrics),
+        )
+
+    return train_step
+
+
 def make_eval_step(model, *, loss_fn=None, eval_kwargs=None):
     eval_kwargs = dict(eval_kwargs or {})
     if loss_fn is None:

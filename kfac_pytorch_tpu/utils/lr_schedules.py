@@ -19,19 +19,26 @@ def warmup_multistep(
     decay_epochs: Sequence[float],
     alpha: float = 0.1,
     steps_per_epoch: int = 1,
+    workers: int = 1,
 ):
-    """Linear warmup from lr/worldsize-ish small value then x alpha at each
-    decay epoch (reference create_lr_schedule, examples/utils.py:54-66)."""
+    """Linear warmup from 1x single-worker lr up to workers x base_lr, then
+    x alpha at each decay epoch — exact parity with the reference
+    create_lr_schedule (examples/utils.py:54-66, applied epoch-granularly via
+    LambdaLR to an optimizer lr of base_lr*workers): during warmup
+    lr = base_lr * (1 + epoch*(workers-1)/warmup_epochs); with workers == 1
+    there is no warmup ramp, matching the reference."""
     decay = sorted(decay_epochs)
 
     def schedule(step):
-        epoch = step / steps_per_epoch
-        # linear warmup: epoch/warmup (reference warms from 1/warmup upward)
-        warm = jnp.minimum(1.0, (epoch + 1.0) / max(warmup_epochs, 1e-8))
-        factor = warm
+        epoch = jnp.floor(step / steps_per_epoch)
+        warm = (1.0 / workers) * (
+            epoch * (workers - 1) / max(warmup_epochs, 1e-8) + 1.0
+        )
+        decayed = jnp.asarray(1.0)
         for e in decay:
-            factor = factor * jnp.where(epoch >= e, alpha, 1.0)
-        return base_lr * factor
+            decayed = decayed * jnp.where(epoch >= e, alpha, 1.0)
+        factor = jnp.where(epoch < warmup_epochs, warm, decayed)
+        return base_lr * workers * factor
 
     return schedule
 
