@@ -214,12 +214,23 @@ class BlockKFAC:
                 "G": jnp.broadcast_to(jnp.eye(dg), (L, dg, dg)),
             }
             if self.config.inv_type == EIGEN:
-                entry.update(
-                    dA=jnp.zeros((L, da)),
-                    QA=jnp.zeros((L, da, da)),
-                    dG=jnp.zeros((L, dg)),
-                    QG=jnp.zeros((L, dg, dg)),
-                )
+                if self.config.symeig_impl == "tracking":
+                    # factors start at identity (reference inv.py:84-90),
+                    # whose eigendecomposition is known exactly — the
+                    # tracking refresh then follows the EMA from here
+                    entry.update(
+                        dA=jnp.ones((L, da)),
+                        QA=jnp.broadcast_to(jnp.eye(da), (L, da, da)),
+                        dG=jnp.ones((L, dg)),
+                        QG=jnp.broadcast_to(jnp.eye(dg), (L, dg, dg)),
+                    )
+                else:
+                    entry.update(
+                        dA=jnp.zeros((L, da)),
+                        QA=jnp.zeros((L, da, da)),
+                        dG=jnp.zeros((L, dg)),
+                        QG=jnp.zeros((L, dg, dg)),
+                    )
             elif self.config.inv_type == PCG:
                 pdt = self.config._pcg_dtype or jnp.float32
                 entry.update(
@@ -676,10 +687,49 @@ class BlockKFAC:
 
                 def inv_all():
                     outs = []
-                    for e in entries:
-                        da_, qa = cfg.symeig(e["A"])
-                        dg_, qg = cfg.symeig(e["G"])
-                        outs.append((da_, qa, dg_, qg))
+                    for b_idx, e in enumerate(entries):
+                        if cfg.symeig_impl == "tracking":
+                            from kfac_pytorch_tpu.ops.blocked_symeig import (
+                                tracking_symeig_update,
+                            )
+
+                            st = state["buckets"][b_idx]
+                            # warmup (step < tracking_warmup): exact
+                            # decompositions — the EMA transient from
+                            # identity to the data covariance is a large
+                            # spectral excursion; afterwards the basis
+                            # drifts ~ (1-factor_decay) per step and
+                            # tracking follows with matmuls only. The
+                            # untaken branch costs nothing at runtime
+                            # (XLA conditionals execute one branch).
+                            def track(e=e, st=st):
+                                da_, qa = tracking_symeig_update(
+                                    e["A"], st["QA"],
+                                    iters=cfg.tracking_iters, eps=cfg.eps,
+                                )
+                                dg_, qg = tracking_symeig_update(
+                                    e["G"], st["QG"],
+                                    iters=cfg.tracking_iters, eps=cfg.eps,
+                                )
+                                return da_, qa, dg_, qg
+
+                            def exact(e=e):
+                                da_, qa = cfg.symeig(e["A"])
+                                dg_, qg = cfg.symeig(e["G"])
+                                return da_, qa, dg_, qg
+
+                            use_exact = (step < cfg.tracking_warmup) | (
+                                step % jnp.maximum(
+                                    cfg.tracking_exact_freq, 1
+                                ) == 0
+                            )
+                            outs.append(
+                                jax.lax.cond(use_exact, exact, track)
+                            )
+                        else:
+                            da_, qa = cfg.symeig(e["A"])
+                            dg_, qg = cfg.symeig(e["G"])
+                            outs.append((da_, qa, dg_, qg))
                     return outs
 
                 def keep_inv():

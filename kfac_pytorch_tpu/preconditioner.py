@@ -201,12 +201,35 @@ class KFACConfig:
         import jax.numpy as _jnp
 
         return _jnp.dtype(self.factor_dtype)
-    # symmetric eigensolver: 'xla' (QDWH eigh) or 'jacobi' (Pallas one-sided
-    # Jacobi for dims <= jacobi_max_dim, XLA above — the tcmm f_symeig
-    # equivalent, ops/pallas/symeig.py)
+    # symmetric eigensolver (the tcmm f_symeig equivalents):
+    #   'xla'      XLA QDWH eigh everywhere
+    #   'jacobi'   Pallas one-sided Jacobi for dims <= jacobi_max_dim, XLA
+    #              above (ops/pallas/symeig.py)
+    #   'blocked'  Pallas for small dims, blocked one-sided Jacobi (MXU
+    #              Gram/rotation GEMMs + small inner solves) for dims >=
+    #              blocked_min_dim (ops/blocked_symeig.py)
+    #   'tracking' online eigenbasis tracking synchronized with the factor
+    #              EMA — no cold eigendecomposition at all (matmuls only;
+    #              ops/blocked_symeig.tracking_symeig_update)
     symeig_impl: str = "xla"
     jacobi_sweeps: int = 10
     jacobi_max_dim: int = 512
+    blocked_min_dim: int = 1024
+    blocked_block: int = 128
+    # per-outer-sweep inner solver: >0 Pallas Jacobi sweeps, 0 perturbative
+    # (all-matmul), <0 batched XLA eigh
+    blocked_inner_schedule: Any = (4, 2, 1, 1, 0, 0)
+    tracking_iters: int = 2
+    # exact decompositions for the first N refreshes: the EMA transient
+    # from identity to the data covariance is a large spectral excursion
+    # (eigenvalue crossings) that first-order tracking cannot follow; after
+    # warmup the per-step drift is ~ (1-factor_decay) and tracking holds
+    tracking_warmup: int = 10
+    # periodic exact re-refresh: near-degenerate eigenvalue couplings that
+    # the perturbation clamp leaves unresolved accumulate slowly (~0.15%
+    # reconstruction error per step measured); an exact decomposition every
+    # N refreshes bounds the drift at ~1/N amortized cost
+    tracking_exact_freq: int = 50
     # 'pcg' inv_type: CG iterations for the damped Kronecker solve, and the
     # refresh period of the CG *preconditioner* (the split damped-factor
     # inverses). The preconditioner only affects CG convergence speed — not
@@ -227,13 +250,35 @@ class KFACConfig:
         return _jnp.dtype(self.pcg_precond_dtype)
 
     def symeig(self, x):
-        if self.symeig_impl == "jacobi":
-            from kfac_pytorch_tpu.ops.pallas.symeig import symeig_auto
+        import jax as _jax
 
-            return symeig_auto(
-                x, self.eps, sweeps=self.jacobi_sweeps,
-                max_pallas_dim=self.jacobi_max_dim,
-            )
+        n = x.shape[-1]
+        on_tpu = _jax.default_backend() == "tpu"
+        if self.symeig_impl in ("jacobi", "blocked", "tracking"):
+            if (
+                self.symeig_impl in ("blocked", "tracking")
+                and n >= self.blocked_min_dim
+            ):
+                from kfac_pytorch_tpu.ops.blocked_symeig import (
+                    symeig_blocked_padded,
+                )
+
+                sched = tuple(self.blocked_inner_schedule)
+                if not on_tpu:
+                    # Pallas inner solves only lower on TPU; the XLA-eigh
+                    # inner (< 0) is the exact portable fallback
+                    sched = tuple(-1 if s > 0 else s for s in sched)
+                return symeig_blocked_padded(
+                    x, self.eps, block=self.blocked_block,
+                    inner_schedule=sched,
+                )
+            if on_tpu:
+                from kfac_pytorch_tpu.ops.pallas.symeig import symeig_auto
+
+                return symeig_auto(
+                    x, self.eps, sweeps=self.jacobi_sweeps,
+                    max_pallas_dim=self.jacobi_max_dim,
+                )
         from kfac_pytorch_tpu.ops.linalg import symeig
 
         return symeig(x, self.eps)
@@ -279,12 +324,21 @@ class KFAC:
                 "G": jnp.eye(dg, dtype=jnp.float32),
             }
             if self.config.inv_type == EIGEN:
-                entry.update(
-                    dA=jnp.zeros((da,), jnp.float32),
-                    QA=jnp.zeros((da, da), jnp.float32),
-                    dG=jnp.zeros((dg,), jnp.float32),
-                    QG=jnp.zeros((dg, dg), jnp.float32),
-                )
+                if self.config.symeig_impl == "tracking":
+                    # factors start at identity: eigenbasis known exactly
+                    entry.update(
+                        dA=jnp.ones((da,), jnp.float32),
+                        QA=jnp.eye(da, dtype=jnp.float32),
+                        dG=jnp.ones((dg,), jnp.float32),
+                        QG=jnp.eye(dg, dtype=jnp.float32),
+                    )
+                else:
+                    entry.update(
+                        dA=jnp.zeros((da,), jnp.float32),
+                        QA=jnp.zeros((da, da), jnp.float32),
+                        dG=jnp.zeros((dg,), jnp.float32),
+                        QG=jnp.zeros((dg, dg), jnp.float32),
+                    )
             elif self.config.inv_type == PCG:
                 pdt = self.config._pcg_dtype or jnp.float32
                 entry.update(
@@ -416,7 +470,38 @@ class KFAC:
             if not cfg.exclude_compute_inverse:
                 if cfg.inv_type == EIGEN:
 
-                    def inv_update(entry=entry):
+                    def inv_update(entry=entry, st=st):
+                        if cfg.symeig_impl == "tracking":
+                            from kfac_pytorch_tpu.ops.blocked_symeig import (
+                                tracking_symeig_update,
+                            )
+
+                            # cold start (step 0): exact decomposition —
+                            # the first EMA update is a jump from
+                            # identity; tracking handles the small
+                            # per-step drift afterwards
+                            def track(entry=entry, st=st):
+                                dA, QA = tracking_symeig_update(
+                                    entry["A"], st["QA"],
+                                    iters=cfg.tracking_iters, eps=cfg.eps,
+                                )
+                                dG, QG = tracking_symeig_update(
+                                    entry["G"], st["QG"],
+                                    iters=cfg.tracking_iters, eps=cfg.eps,
+                                )
+                                return dA, QA, dG, QG
+
+                            def exact(entry=entry):
+                                dA, QA = cfg.symeig(entry["A"])
+                                dG, QG = cfg.symeig(entry["G"])
+                                return dA, QA, dG, QG
+
+                            use_exact = (step < cfg.tracking_warmup) | (
+                                step % jnp.maximum(
+                                    cfg.tracking_exact_freq, 1
+                                ) == 0
+                            )
+                            return jax.lax.cond(use_exact, exact, track)
                         dA, QA = cfg.symeig(entry["A"])
                         dG, QG = cfg.symeig(entry["G"])
                         return dA, QA, dG, QG
