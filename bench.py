@@ -109,11 +109,17 @@ def _build(model_name, batch, image, num_classes):
             kfac_update_freq=_env_i("KFB_TINV", 1),
             fac_update_freq=_env_i("KFB_TCOV", 1),
             static_schedule=True,
+            **KFACConfig.exclude_parts_flags(
+                os.environ.get("KFB_EXCLUDE", "")
+            ),
         ),
         world_size=1,
         dim_align=8,
-        merge_flop_rate=_env_f("KFB_MERGE_RATE", 6e13),
-        merge_dispatch_cost=_env_f("KFB_MERGE_COST", 1.2e-3),
+        # cost-model bucket merging is opt-in: measured on-chip, merged
+        # buckets LOST (94ms vs 75ms — the padded big-block matmuls are
+        # HBM-bound, which a pure-FLOP model underestimates)
+        merge_flop_rate=_env_f("KFB_MERGE_RATE", 0.0),
+        merge_dispatch_cost=_env_f("KFB_MERGE_COST", 0.0),
     )
     print(f"# kfac buckets: {len(kfac.buckets)}", file=sys.stderr)
 

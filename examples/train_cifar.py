@@ -80,9 +80,18 @@ def parse_args(argv=None):
     p.add_argument("--n-devices", type=int, default=None,
                    help="run the sharded mesh path over N devices "
                         "(batch-size becomes per-device)")
+    p.add_argument("--bf16-allreduce", action="store_true",
+                   help="bfloat16 gradient allreduce compression (the "
+                        "reference's --fp16-allreduce, "
+                        "pytorch_cifar10_resnet.py:252-254)")
     # harness
     p.add_argument("--data-path", default=None)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--no-augment", action="store_true",
+                   help="disable crop/flip augmentation (real data defaults "
+                        "to the reference pipeline: RandomCrop(32, pad=4) + "
+                        "RandomHorizontalFlip + CIFAR normalization, "
+                        "pytorch_cifar10_resnet.py:158-166)")
     p.add_argument("--iters", type=int, default=None,
                    help="cap total iterations (smoke/SPEED runs)")
     p.add_argument("--speed", action="store_true",
@@ -96,10 +105,18 @@ def parse_args(argv=None):
 
 def load_data(args):
     if args.data_path and os.path.exists(args.data_path):
+        from kfac_pytorch_tpu.utils.augment import normalize
+
         d = np.load(args.data_path)
+        # raw images (uint8 or [0,1] floats) are normalized with the
+        # reference's CIFAR statistics; pre-normalized float data
+        # (mean ~ 0) is passed through untouched
+        x_tr, x_te = d["x_train"], d["x_test"]
+        if x_tr.dtype == np.uint8 or float(np.abs(x_tr).max()) <= 1.5:
+            x_tr, x_te = normalize(x_tr), normalize(x_te)
         return (
-            (d["x_train"].astype(np.float32), d["y_train"].astype(np.int32)),
-            (d["x_test"].astype(np.float32), d["y_test"].astype(np.int32)),
+            (x_tr.astype(np.float32), d["y_train"].astype(np.int32)),
+            (x_te.astype(np.float32), d["y_test"].astype(np.int32)),
         )
     n_train, n_test = 2048, 512
     rng = np.random.RandomState(args.seed)
@@ -188,6 +205,7 @@ def main(argv=None):
             local_perturb_template=local_pert,
             label_smoothing=args.label_smoothing,
             train_kwargs={"train": True},
+            grad_compression="bf16" if args.bf16_allreduce else None,
         )
         state = shard_train_state(mesh, kfac, state)
     else:
@@ -213,6 +231,11 @@ def main(argv=None):
     )
 
     data_rng = np.random.RandomState(args.seed)
+    augment = None
+    if args.data_path and not args.no_augment:
+        from kfac_pytorch_tpu.utils.augment import make_augment_fn
+
+        augment = make_augment_fn(args.seed)
     timers = StageTimers()
     global_step = 0
     for epoch in range(args.epochs):
@@ -221,7 +244,10 @@ def main(argv=None):
         for i in range(steps_per_epoch):
             idx = perm[i * global_bs : (i + 1) * global_bs]
             timers.start("io")
-            batch = (jnp.asarray(x_train[idx]), jnp.asarray(y_train[idx]))
+            xb = x_train[idx]
+            if augment is not None:
+                xb = augment(xb)
+            batch = (jnp.asarray(xb), jnp.asarray(y_train[idx]))
             if mesh is not None:
                 batch = meshlib.shard_batch(mesh, batch)
             timers.stop("io", batch[0])

@@ -58,6 +58,9 @@ def parse_args(argv=None):
     p.add_argument("--val-batch-size", type=int, default=32)
     p.add_argument("--batches-per-allreduce", type=int, default=1,
                    help="gradient accumulation steps")
+    p.add_argument("--bf16-allreduce", action="store_true",
+                   help="bfloat16 gradient allreduce compression (the "
+                        "reference's --fp16-allreduce)")
     p.add_argument("--epochs", type=int, default=55)
     p.add_argument("--base-lr", type=float, default=0.0125,
                    help="lr per device (scaled by device count)")
@@ -204,6 +207,7 @@ def main(argv=None):
             label_smoothing=args.label_smoothing,
             train_kwargs={"train": True},
             n_accum=n_accum,
+            grad_compression="bf16" if args.bf16_allreduce else None,
         )
         state = shard_train_state(mesh, kfac, state)
     else:

@@ -44,7 +44,9 @@ _REGISTRY = {
     # ResNeXt / MobileNet (grouped convs)
     "resnext50-32x4d": resnext_mobilenet.resnext50_32x4d,
     "mobilenet-v1": resnext_mobilenet.mobilenet_v1,
+    "mobilenet-v2": resnext_mobilenet.mobilenet_v2,
     # Inception
+    "inceptionv3": inception.inceptionv3,
     "inceptionv4": inception.inceptionv4,
     # ImageNet ResNets
     "imagenet-resnet18": resnet_imagenet.resnet18,

@@ -189,3 +189,144 @@ class InceptionV4(nn.Module):
 
 def inceptionv4(num_classes=1000, **kw):
     return InceptionV4(num_classes=num_classes, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Inception-v3 (torchvision topology; the reference's other Inception option,
+# pytorch_imagenet_resnet.py:254-255). The train-time auxiliary classifier is
+# omitted: the reference train loop calls model(data) and consumes a single
+# logits tensor, so the aux head never contributes there either.
+# ---------------------------------------------------------------------------
+
+
+class V3Stem(nn.Module):
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        cbr = partial(ConvBN, dtype=self.dtype)
+        x = cbr(32, (3, 3), (2, 2), "VALID", name="c1")(x, train)
+        x = cbr(32, (3, 3), (1, 1), "VALID", name="c2")(x, train)
+        x = cbr(64, (3, 3), name="c3")(x, train)
+        x = _maxpool(x)
+        x = cbr(80, (1, 1), name="c4")(x, train)
+        x = cbr(192, (3, 3), (1, 1), "VALID", name="c5")(x, train)
+        return _maxpool(x)
+
+
+class InceptionV3A(nn.Module):
+    pool_features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        cbr = partial(ConvBN, dtype=self.dtype)
+        b0 = cbr(64, (1, 1), name="b0")(x, train)
+        b1 = cbr(48, (1, 1), name="b1a")(x, train)
+        b1 = cbr(64, (5, 5), name="b1b")(b1, train)
+        b2 = cbr(64, (1, 1), name="b2a")(x, train)
+        b2 = cbr(96, (3, 3), name="b2b")(b2, train)
+        b2 = cbr(96, (3, 3), name="b2c")(b2, train)
+        b3 = cbr(self.pool_features, (1, 1), name="b3")(
+            _avgpool_same(x), train
+        )
+        return jnp.concatenate([b0, b1, b2, b3], axis=-1)
+
+
+class InceptionV3B(nn.Module):
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        cbr = partial(ConvBN, dtype=self.dtype)
+        b0 = cbr(384, (3, 3), (2, 2), "VALID", name="b0")(x, train)
+        b1 = cbr(64, (1, 1), name="b1a")(x, train)
+        b1 = cbr(96, (3, 3), name="b1b")(b1, train)
+        b1 = cbr(96, (3, 3), (2, 2), "VALID", name="b1c")(b1, train)
+        return jnp.concatenate([b0, b1, _maxpool(x)], axis=-1)
+
+
+class InceptionV3C(nn.Module):
+    c7: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        cbr = partial(ConvBN, dtype=self.dtype)
+        c7 = self.c7
+        b0 = cbr(192, (1, 1), name="b0")(x, train)
+        b1 = cbr(c7, (1, 1), name="b1a")(x, train)
+        b1 = cbr(c7, (1, 7), name="b1b")(b1, train)
+        b1 = cbr(192, (7, 1), name="b1c")(b1, train)
+        b2 = cbr(c7, (1, 1), name="b2a")(x, train)
+        b2 = cbr(c7, (7, 1), name="b2b")(b2, train)
+        b2 = cbr(c7, (1, 7), name="b2c")(b2, train)
+        b2 = cbr(c7, (7, 1), name="b2d")(b2, train)
+        b2 = cbr(192, (1, 7), name="b2e")(b2, train)
+        b3 = cbr(192, (1, 1), name="b3")(_avgpool_same(x), train)
+        return jnp.concatenate([b0, b1, b2, b3], axis=-1)
+
+
+class InceptionV3D(nn.Module):
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        cbr = partial(ConvBN, dtype=self.dtype)
+        b0 = cbr(192, (1, 1), name="b0a")(x, train)
+        b0 = cbr(320, (3, 3), (2, 2), "VALID", name="b0b")(b0, train)
+        b1 = cbr(192, (1, 1), name="b1a")(x, train)
+        b1 = cbr(192, (1, 7), name="b1b")(b1, train)
+        b1 = cbr(192, (7, 1), name="b1c")(b1, train)
+        b1 = cbr(192, (3, 3), (2, 2), "VALID", name="b1d")(b1, train)
+        return jnp.concatenate([b0, b1, _maxpool(x)], axis=-1)
+
+
+class InceptionV3E(nn.Module):
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        cbr = partial(ConvBN, dtype=self.dtype)
+        b0 = cbr(320, (1, 1), name="b0")(x, train)
+        b1 = cbr(384, (1, 1), name="b1a")(x, train)
+        b1 = jnp.concatenate(
+            [cbr(384, (1, 3), name="b1b")(b1, train),
+             cbr(384, (3, 1), name="b1c")(b1, train)],
+            axis=-1,
+        )
+        b2 = cbr(448, (1, 1), name="b2a")(x, train)
+        b2 = cbr(384, (3, 3), name="b2b")(b2, train)
+        b2 = jnp.concatenate(
+            [cbr(384, (1, 3), name="b2c")(b2, train),
+             cbr(384, (3, 1), name="b2d")(b2, train)],
+            axis=-1,
+        )
+        b3 = cbr(192, (1, 1), name="b3")(_avgpool_same(x), train)
+        return jnp.concatenate([b0, b1, b2, b3], axis=-1)
+
+
+class InceptionV3(nn.Module):
+    num_classes: int = 1000
+    dropout: float = 0.0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = V3Stem(dtype=self.dtype, name="stem")(x, train)
+        for i, pf in enumerate([32, 64, 64]):
+            x = InceptionV3A(pf, dtype=self.dtype, name=f"a{i}")(x, train)
+        x = InceptionV3B(dtype=self.dtype, name="b")(x, train)
+        for i, c7 in enumerate([128, 160, 160, 192]):
+            x = InceptionV3C(c7, dtype=self.dtype, name=f"c{i}")(x, train)
+        x = InceptionV3D(dtype=self.dtype, name="d")(x, train)
+        for i in range(2):
+            x = InceptionV3E(dtype=self.dtype, name=f"e{i}")(x, train)
+        x = jnp.mean(x, axis=(1, 2))
+        if self.dropout > 0:
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return KFACDense(self.num_classes, kernel_init=_kaiming, name="fc")(x)
+
+
+def inceptionv3(num_classes=1000, **kw):
+    return InceptionV3(num_classes=num_classes, **kw)

@@ -133,8 +133,77 @@ class MobileNetV1(nn.Module):
         return KFACDense(self.num_classes, kernel_init=_kaiming, name="fc")(x)
 
 
+class MobileNetV2(nn.Module):
+    """Inverted-residual MobileNet-v2 (the reference's mobilenetv2 option,
+    pytorch_imagenet_resnet.py:258-259). Depthwise convs are fully-grouped
+    KFACConvs (block-diagonal per-channel factors); ReLU6 activations."""
+
+    width_mult: float = 1.0
+    num_classes: int = 1000
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = partial(nn.BatchNorm, use_running_average=not train,
+                       momentum=0.9, dtype=self.dtype)
+        relu6 = lambda v: jnp.minimum(nn.relu(v), 6.0)
+
+        def c(ch):
+            return max(8, int(ch * self.width_mult + 0.5) // 8 * 8)
+
+        def inverted_residual(x, ch_out, stride, expand, name):
+            ch_in = x.shape[-1]
+            hidden = ch_in * expand
+            h = x
+            if expand != 1:
+                h = KFACConv(hidden, (1, 1), padding=0, use_bias=False,
+                             kernel_init=_kaiming, dtype=self.dtype,
+                             name=f"{name}_exp")(h)
+                h = relu6(norm(name=f"{name}_expbn")(h))
+            h = KFACConv(
+                hidden, (3, 3), strides=(stride, stride), padding=1,
+                use_bias=False, feature_group_count=hidden,
+                kernel_init=_kaiming, dtype=self.dtype, name=f"{name}_dw",
+            )(h)
+            h = relu6(norm(name=f"{name}_dwbn")(h))
+            h = KFACConv(ch_out, (1, 1), padding=0, use_bias=False,
+                         kernel_init=_kaiming, dtype=self.dtype,
+                         name=f"{name}_proj")(h)
+            h = norm(name=f"{name}_projbn")(h)
+            if stride == 1 and ch_in == ch_out:
+                h = h + x
+            return h
+
+        x = KFACConv(c(32), (3, 3), strides=(2, 2), padding=1,
+                     use_bias=False, kernel_init=_kaiming, dtype=self.dtype,
+                     name="stem_conv")(x)
+        x = relu6(norm(name="stem_bn")(x))
+        cfg = [
+            # (expand t, channels c, repeats n, stride s)
+            (1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
+            (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1),
+        ]
+        blk = 0
+        for t, ch, n, s in cfg:
+            for i in range(n):
+                x = inverted_residual(
+                    x, c(ch), s if i == 0 else 1, t, f"ir{blk}"
+                )
+                blk += 1
+        x = KFACConv(c(1280) if self.width_mult > 1.0 else 1280, (1, 1),
+                     padding=0, use_bias=False, kernel_init=_kaiming,
+                     dtype=self.dtype, name="head_conv")(x)
+        x = relu6(norm(name="head_bn")(x))
+        x = jnp.mean(x, axis=(1, 2))
+        return KFACDense(self.num_classes, kernel_init=_kaiming, name="fc")(x)
+
+
 def resnext50_32x4d(num_classes=1000, **kw):
     return ResNeXt((3, 4, 6, 3), 32, 4, num_classes, **kw)
+
+
+def mobilenet_v2(num_classes=1000, **kw):
+    return MobileNetV2(num_classes=num_classes, **kw)
 
 
 def mobilenet_v1(num_classes=1000, **kw):

@@ -31,17 +31,19 @@ from kfac_pytorch_tpu.ops import linalg as lops
 def damped_cholesky_factors(
     a: jax.Array, g: jax.Array, damping, real_da=None, real_dg=None,
     dtype=None,
-) -> Tuple[jax.Array, jax.Array]:
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Explicit inverses of the pi-split damped factors (batched).
 
     a: (..., da, da), g: (..., dg, dg). real_da/real_dg correct the traces
     for identity padding (see parallel/strategies.py).
 
-    Returns DENSE INVERSES (invA, invG), not triangular factors: applying
-    the preconditioner then costs two MXU matmuls per PCG iteration instead
-    of four triangular solves — triangular solves are sequential and slow on
-    TPU, and the inversion itself is amortized over the TInv update period.
-    (Name kept for API continuity.)
+    Returns (invA, invG, sA, sG): DENSE INVERSES of (A + sA I) / (G + sG I)
+    — not triangular factors: applying the preconditioner costs two MXU
+    matmuls per PCG iteration instead of four triangular solves, which are
+    sequential and slow on TPU — plus the per-layer damping shifts
+    sA = sqrt(damping)*pi, sG = sqrt(damping)/pi. The shifts let the solve
+    fuse operator and preconditioner applications algebraically
+    (pcg_kron_solve's 3-matmul iteration). (Name kept for API continuity.)
     """
     da, dg = a.shape[-1], g.shape[-1]
     if real_da is None:
@@ -52,8 +54,10 @@ def damped_cholesky_factors(
         tr_g = (jnp.trace(g, axis1=-2, axis2=-1) - (dg - real_dg)) / real_dg
     pi = jnp.sqrt(tr_a / tr_g)
     sd = jnp.sqrt(damping)
-    shift_a = (sd * pi)[..., None, None] * jnp.eye(da, dtype=a.dtype)
-    shift_g = (sd / pi)[..., None, None] * jnp.eye(dg, dtype=g.dtype)
+    s_a = sd * pi
+    s_g = sd / pi
+    shift_a = s_a[..., None, None] * jnp.eye(da, dtype=a.dtype)
+    shift_g = s_g[..., None, None] * jnp.eye(dg, dtype=g.dtype)
     inv_a = lops.cholesky_inverse(a + shift_a)
     inv_g = lops.cholesky_inverse(g + shift_g)
     if dtype is not None:
@@ -62,7 +66,7 @@ def damped_cholesky_factors(
         # affects CG convergence rate, not the solution
         inv_a = inv_a.astype(dtype)
         inv_g = inv_g.astype(dtype)
-    return inv_a, inv_g
+    return inv_a, inv_g, s_a, s_g
 
 
 def pcg_kron_solve(
@@ -75,25 +79,41 @@ def pcg_kron_solve(
     *,
     iters: int = 12,
     precision=None,
+    s_a: jax.Array = None,
+    s_g: jax.Array = None,
 ) -> jax.Array:
     """Solve (G (x) A + damping I) v = grad2d by batched PCG.
 
     grad2d: (..., dg, da); a: (..., da, da); g: (..., dg, dg);
-    la/lg: the cached damped factor INVERSES from damped_cholesky_factors.
-    Each iteration is four MXU matmuls (operator + preconditioner).
+    la/lg: the cached damped factor INVERSES from damped_cholesky_factors,
+    s_a/s_g: the per-layer damping shifts they were built with.
+
+    When the shifts are available and the inverses are stored full-precision
+    the iteration needs THREE MXU matmuls instead of the naive four
+    (operator two + preconditioner two): with Lg = (G + s_g I)^-1 the
+    product collapses algebraically — G Lg = I - s_g Lg, La A = I - s_a La
+    — so
+
+      op(prec(r)) = (I - s_g Lg) r (I - s_a La) + damping * prec(r)
+
+    needs only u = Lg r, w = r La, z = u La (z IS prec(r)), and op(p) for
+    the next iteration follows from the CG recurrence p = z + beta p =>
+    op(p) = op(z) + beta op(p_prev) with no extra matmuls. The fused form
+    applies the operator THROUGH the stored inverse, so it requires la/lg
+    exact to working precision (f32); with bf16-stored preconditioners
+    (pcg_precond_dtype) the explicit operator path is used — a sloppy
+    preconditioner only slows CG, but a sloppy operator would change the
+    answer.
     """
     mm = lambda x, y: jnp.matmul(x, y, precision=precision)
-
-    def op(v):
-        return mm(mm(g, v), a) + damping * v
-
-    def prec(r):
-        return mm(mm(lg, r), la)
 
     def dot(x, y):
         return jnp.sum(
             x * y, axis=(-2, -1), keepdims=True
         )  # (..., 1, 1) per layer
+
+    def prec(r):
+        return mm(mm(lg, r), la)
 
     if iters == 0:
         # degenerate mode: single preconditioner application (the split
@@ -101,23 +121,49 @@ def pcg_kron_solve(
         # used for diagnostics and as the cheapest approximation
         return prec(grad2d)
 
+    fused = (
+        s_a is not None
+        and s_g is not None
+        and la.dtype == jnp.float32
+        and lg.dtype == jnp.float32
+    )
+
+    if fused:
+        sa = s_a[..., None, None]
+        sg = s_g[..., None, None]
+
+        def prec_and_op(r):
+            """z = prec(r) and op(z), sharing GEMMs (3 matmuls total)."""
+            u = mm(lg, r)  # Lg r
+            w = mm(r, la)  # r La
+            z = mm(u, la)  # Lg r La = prec(r)
+            opz = r - sg * u - sa * w + (sg * sa + damping) * z
+            return z, opz
+
+    else:
+
+        def prec_and_op(r):
+            z = prec(r)
+            opz = mm(mm(g, z), a) + damping * z
+            return z, opz
+
     x = jnp.zeros_like(grad2d)
     r = grad2d
-    z = prec(r)
+    z, op_p = prec_and_op(r)
     p = z
     rz = dot(r, z)
 
     # statically unrolled: TPU while-loop iterations carry scheduling
     # barriers; unrolling lets XLA fuse and pipeline across iterations
     for _ in range(iters):
-        op_p = op(p)
         denom = dot(p, op_p)
         alpha = rz / jnp.where(jnp.abs(denom) < 1e-30, 1.0, denom)
         x = x + alpha * p
         r = r - alpha * op_p
-        z = prec(r)
+        z, op_z = prec_and_op(r)
         rz_new = dot(r, z)
         beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1.0, rz)
         p = z + beta * p
+        op_p = op_z + beta * op_p  # CG recurrence: no operator matmuls
         rz = rz_new
     return x

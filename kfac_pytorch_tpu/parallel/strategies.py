@@ -238,6 +238,8 @@ class BlockKFAC:
                                            (L, da, da)),
                     cholG=jnp.broadcast_to(jnp.eye(dg, dtype=pdt),
                                            (L, dg, dg)),
+                    sA=jnp.zeros((L,)),
+                    sG=jnp.zeros((L,)),
                 )
             else:
                 entry.update(
@@ -756,14 +758,15 @@ class BlockKFAC:
 
                 def keep_prec():
                     return [
-                        (st["cholA"], st["cholG"])
+                        (st["cholA"], st["cholG"], st["sA"], st["sG"])
                         for st in state["buckets"]
                     ]
 
-                for e, (ca, cg_) in zip(
+                for e, (ca, cg_, sa_, sg_) in zip(
                     entries, _cond_or_call(do_prec, prec_all, keep_prec)
                 ):
                     e["cholA"], e["cholG"] = ca, cg_
+                    e["sA"], e["sG"] = sa_, sg_
             else:
 
                 def inv_all():
@@ -827,6 +830,7 @@ class BlockKFAC:
                         g2d_my, e["A"], e["G"], e["cholA"], e["cholG"],
                         damping, iters=cfg.pcg_iters,
                         precision=cfg.precision,
+                        s_a=e["sA"], s_g=e["sG"],
                     )
                 else:
                     v_my = pops.precond_inverse(

@@ -44,6 +44,7 @@ def make_sharded_train_step(
     label_smoothing: float = 0.0,
     train_kwargs: Optional[Dict[str, Any]] = None,
     n_accum: int = 1,
+    grad_compression: Optional[str] = None,
 ):
     """Build a jitted shard_map train step over ``mesh``.
 
@@ -59,7 +60,14 @@ def make_sharded_train_step(
     gradient pmean, K-FAC preconditioning, and optimizer update run ONCE on
     the accumulated gradient (curvature statistics come from the last
     micro-batch, matching the reference's overwrite-on-forward hooks).
+
+    ``grad_compression='bf16'`` casts gradients to bfloat16 for the
+    data-parallel allreduce and back (halved ICI/DCN traffic) — the
+    reference's hvd.Compression.fp16 option
+    (pytorch_cifar10_resnet.py:252-254, --fp16-allreduce).
     """
+    if grad_compression not in (None, "bf16"):
+        raise ValueError(f"unknown grad_compression {grad_compression}")
     train_kwargs = dict(train_kwargs or {})
     if loss_fn is None:
         loss_fn = lambda logits, labels: softmax_cross_entropy(
@@ -189,7 +197,15 @@ def make_sharded_train_step(
             logits = None
 
         # gradient data-parallel allreduce (Horovod equivalent)
-        grads = jax.lax.pmean(grads, axis)
+        if grad_compression == "bf16":
+            grads = jax.tree_util.tree_map(
+                lambda g: jax.lax.pmean(
+                    g.astype(jnp.bfloat16), axis
+                ).astype(g.dtype),
+                grads,
+            )
+        else:
+            grads = jax.lax.pmean(grads, axis)
         model_state = jax.lax.pmean(model_state, axis)
 
         if kfac is not None:

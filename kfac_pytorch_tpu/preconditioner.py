@@ -237,9 +237,13 @@ class KFACConfig:
     # a stale preconditioner just costs a little convergence rate.
     pcg_iters: int = 8
     pcg_precond_freq: int = 10
-    # storage dtype of the cached preconditioner inverses (None = float32);
-    # bf16 halves state traffic and only affects CG convergence rate
-    pcg_precond_dtype: Any = "bfloat16"
+    # storage dtype of the cached preconditioner inverses. float32 (None,
+    # the default) enables the fused 3-matmul CG iteration (pcg_kron_solve
+    # applies the operator algebraically through the exact inverse);
+    # 'bfloat16' halves state traffic but falls back to the explicit
+    # 4-matmul operator (a sloppy preconditioner only slows CG; a sloppy
+    # operator would change the answer)
+    pcg_precond_dtype: Any = None
 
     @property
     def _pcg_dtype(self):
@@ -344,6 +348,8 @@ class KFAC:
                 entry.update(
                     cholA=jnp.eye(da, dtype=pdt),
                     cholG=jnp.eye(dg, dtype=pdt),
+                    sA=jnp.zeros((), jnp.float32),
+                    sG=jnp.zeros((), jnp.float32),
                 )
             else:
                 entry.update(
@@ -522,9 +528,13 @@ class KFAC:
                             dtype=cfg._pcg_dtype,
                         )
 
-                    entry["cholA"], entry["cholG"] = jax.lax.cond(
+                    (
+                        entry["cholA"], entry["cholG"],
+                        entry["sA"], entry["sG"],
+                    ) = jax.lax.cond(
                         do_prec, inv_update,
-                        lambda: (st["cholA"], st["cholG"]),
+                        lambda: (st["cholA"], st["cholG"],
+                                 st["sA"], st["sG"]),
                     )
                 else:
 
@@ -560,6 +570,7 @@ class KFAC:
                         g2d, entry["A"], entry["G"], entry["cholA"],
                         entry["cholG"], damping, iters=cfg.pcg_iters,
                         precision=cfg.precision,
+                        s_a=entry["sA"], s_g=entry["sG"],
                     )
                 else:
                     v = pops.precond_inverse(

@@ -128,6 +128,56 @@ def test_inceptionv4_registration():
     assert len(specs) == 150  # 149 convs + fc
 
 
+def test_inceptionv3_registration_and_forward():
+    """Inception-v3 (torchvision topology, 94 convs + fc; the reference's
+    other Inception option, pytorch_imagenet_resnet.py:254-255)."""
+    model = get_model("inceptionv3", num_classes=10)
+    x = jnp.zeros((1, 160, 160, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=True)
+    specs, _ = _specs_for(
+        model,
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        x, train=True,
+    )
+    assert len(specs) == 95  # 94 convs + fc
+    out = model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        x, train=False,
+    )
+    assert out.shape == (1, 10)
+
+
+def test_mobilenet_v2_registration_and_forward():
+    """MobileNet-v2 inverted residuals; depthwise convs register one spec
+    per group (block-diagonal factors)."""
+    model = get_model("mobilenet-v2", num_classes=10)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=True)
+    specs, _ = _specs_for(
+        model,
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        x, train=True,
+    )
+    grouped = [s for s in specs if s.n_groups > 1]
+    singles = [s for s in specs if s.n_groups == 1]
+    # 17 inverted residuals + stem + head + fc: 16 expand + 17 project +
+    # stem + head + fc = 36 single layers; 17 depthwise modules expand to
+    # one spec per channel
+    assert len(singles) == 36
+    assert len(grouped) == sum(
+        s.n_groups for s in grouped if s.group_idx == 0
+    )
+    out = model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        x, train=False,
+    )
+    assert out.shape == (1, 10)
+
+
 def test_registry_errors():
     with pytest.raises(ValueError):
         get_model("nope")

@@ -34,8 +34,9 @@ def test_pcg_solve_matches_eigen_solve():
     dG, QG = L.symeig(G)
     want = np.asarray(PR.precond_eigen(D, QA, dA, QG, dG, lam))
 
-    la, lg = P.damped_cholesky_factors(A, G, lam)
-    got = np.asarray(P.pcg_kron_solve(D, A, G, la, lg, lam, iters=20))
+    la, lg, sa, sg = P.damped_cholesky_factors(A, G, lam)
+    got = np.asarray(P.pcg_kron_solve(D, A, G, la, lg, lam, iters=20,
+                                      s_a=sa, s_g=sg))
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-4)
     # residual check: (G v A + lam v) == D
     v = jnp.asarray(got)
@@ -58,8 +59,9 @@ def test_pcg_solve_batched_with_padding():
     A, G, D = map(jnp.asarray, (A, G, D))
     real_da = jnp.full((3,), na, jnp.float32)
     real_dg = jnp.full((3,), ng, jnp.float32)
-    la, lg = P.damped_cholesky_factors(A, G, 0.03, real_da, real_dg)
-    v = np.asarray(P.pcg_kron_solve(D, A, G, la, lg, 0.03, iters=20))
+    la, lg, sa, sg = P.damped_cholesky_factors(A, G, 0.03, real_da, real_dg)
+    v = np.asarray(P.pcg_kron_solve(D, A, G, la, lg, 0.03, iters=20,
+                                    s_a=sa, s_g=sg))
     # pad region stays exactly zero
     assert np.abs(v[:, ng:, :]).max() == 0.0
     assert np.abs(v[:, :, na:]).max() == 0.0
@@ -153,6 +155,32 @@ def test_pcg_registry_and_training():
     assert losses[-1] < losses[0]
 
 
+def test_fused_iteration_equals_explicit_operator():
+    """The 3-matmul fused iteration (operator applied algebraically through
+    the exact f32 inverse + CG recurrence) must match the explicit
+    4-matmul operator path, and bf16-stored inverses must fall back to the
+    explicit operator without correctness loss."""
+    rng = np.random.RandomState(5)
+    na, ng, lam = 80, 56, 0.02
+    A = jnp.asarray(_spd(rng, na))
+    G = jnp.asarray(_spd(rng, ng))
+    D = jnp.asarray(rng.randn(ng, na).astype(np.float32))
+    la, lg, sa, sg = P.damped_cholesky_factors(A, G, lam)
+    fused = np.asarray(
+        P.pcg_kron_solve(D, A, G, la, lg, lam, iters=10, s_a=sa, s_g=sg)
+    )
+    explicit = np.asarray(P.pcg_kron_solve(D, A, G, la, lg, lam, iters=10))
+    np.testing.assert_allclose(fused, explicit, rtol=2e-3, atol=2e-5)
+    # bf16 storage path: stays a correct solve (operator exact, slower CG)
+    la16, lg16 = la.astype(jnp.bfloat16), lg.astype(jnp.bfloat16)
+    v16 = np.asarray(
+        P.pcg_kron_solve(D, A, G, la16, lg16, lam, iters=20,
+                         s_a=sa, s_g=sg)
+    )
+    res = np.asarray(G) @ v16 @ np.asarray(A) + lam * v16 - np.asarray(D)
+    assert np.abs(res).max() / np.abs(np.asarray(D)).max() < 2e-3
+
+
 def test_pcg_iters_zero_equals_split_preconditioner():
     """iters=0 degenerates to one application of the split damped inverse
     (the 'inverse'-variant update shape), used for diagnostics."""
@@ -160,7 +188,7 @@ def test_pcg_iters_zero_equals_split_preconditioner():
     A = jnp.asarray(_spd(rng, 32))
     G = jnp.asarray(_spd(rng, 24))
     D = jnp.asarray(rng.randn(24, 32).astype(np.float32))
-    la, lg = P.damped_cholesky_factors(A, G, 0.05)
+    la, lg, _, _ = P.damped_cholesky_factors(A, G, 0.05)
     v0 = np.asarray(P.pcg_kron_solve(D, A, G, la, lg, 0.05, iters=0))
     want = np.asarray(lg) @ np.asarray(D) @ np.asarray(la)
     np.testing.assert_allclose(v0, want, rtol=1e-5, atol=1e-6)

@@ -116,6 +116,107 @@ def test_conv_factor_parity(cin, cout, hw, ks, st, pad, bias):
     np.testing.assert_allclose(got_G, ref_G, rtol=1e-4, atol=1e-4)
 
 
+def test_multi_step_trajectory_parity():
+    """25-step trajectory parity of the FULL per-step pipeline — EMA
+    (update_running_avg) -> eigh -> eigen preconditioning -> kl_clip — vs
+    the reference's own torch functions (utils.py:66-71, eigen.py:98-144,
+    inv.py:188-217), two dense layers (one with a sequence axis), fresh
+    statistics and gradients every step."""
+    update_running_avg = _ref_utils.update_running_avg
+    rng = np.random.RandomState(7)
+    lr, damping, kl_clip, decay = 0.1, 0.03, 0.001, 0.95
+    layers = [
+        dict(din=10, dout=6, seq=None),
+        dict(din=8, dout=5, seq=7),
+    ]
+    t_layers = [
+        torch.nn.Linear(l["din"], l["dout"], bias=True) for l in layers
+    ]
+    # torch state
+    t_A = [torch.eye(l["din"] + 1) for l in layers]
+    t_G = [torch.eye(l["dout"]) for l in layers]
+
+    # ours: per-layer KFAC with hand-built specs and capture trees
+    from kfac_pytorch_tpu.preconditioner import KFAC, KFACConfig
+
+    specs = tuple(
+        ktpu.LayerSpec(
+            path=(f"l{i}",), kind="dense", in_dim=l["din"],
+            out_dim=l["dout"], has_bias=True, param_path=(f"l{i}",),
+        )
+        for i, l in enumerate(layers)
+    )
+    kfac = KFAC(
+        specs,
+        KFACConfig(inv_type="eigen", damping=damping, kl_clip=kl_clip,
+                   factor_decay=decay),
+    )
+    state = kfac.init_state()
+
+    for step in range(25):
+        batch = 16
+        acts, gs, grads = {}, {}, {}
+        t_v = []
+        vg_sum = 0.0
+        fresh = []
+        for i, l in enumerate(layers):
+            shape_a = (
+                (batch, l["din"]) if l["seq"] is None
+                else (batch, l["seq"], l["din"])
+            )
+            shape_g = (
+                (batch, l["dout"]) if l["seq"] is None
+                else (batch, l["seq"], l["dout"])
+            )
+            a = rng.randn(*shape_a).astype(np.float32)
+            g = rng.randn(*shape_g).astype(np.float32) * 0.1
+            wg = rng.randn(l["dout"], l["din"]).astype(np.float32)
+            bg = rng.randn(l["dout"]).astype(np.float32)
+            fresh.append((a, g, wg, bg))
+            acts[f"l{i}"] = {"a": jnp.asarray(a)}
+            gs[f"l{i}"] = {"p": jnp.asarray(g)}
+            grads[f"l{i}"] = {
+                "kernel": jnp.asarray(wg.T), "bias": jnp.asarray(bg)
+            }
+
+        # ---- torch reference pipeline
+        for i, l in enumerate(layers):
+            a, g, wg, bg = fresh[i]
+            A_new = ComputeA()(torch.from_numpy(a), t_layers[i])
+            G_new = ComputeG()(
+                torch.from_numpy(g), t_layers[i], batch_averaged=True
+            )
+            update_running_avg(A_new, t_A[i], decay)
+            update_running_avg(G_new, t_G[i], decay)
+            dA, QA = torch.linalg.eigh(t_A[i])
+            dG, QG = torch.linalg.eigh(t_G[i])
+            dA = dA * (dA > 1e-10).float()
+            dG = dG * (dG > 1e-10).float()
+            grad_t = torch.cat(
+                [torch.from_numpy(wg),
+                 torch.from_numpy(bg).reshape(-1, 1)], 1
+            )
+            v1 = QG.t() @ grad_t @ QA
+            v2 = v1 / (dG.unsqueeze(1) * dA.unsqueeze(0) + damping)
+            v = QG @ v2 @ QA.t()
+            vg_sum += float((v * grad_t * lr**2).sum())
+            t_v.append(v.numpy())
+        nu = min(1.0, (kl_clip / abs(vg_sum)) ** 0.5)
+        t_v = [v * nu for v in t_v]
+
+        # ---- our pipeline
+        out, state = kfac.step(state, grads, acts, gs, lr=lr)
+        for i, l in enumerate(layers):
+            got = np.concatenate(
+                [np.asarray(out[f"l{i}"]["kernel"]).T,
+                 np.asarray(out[f"l{i}"]["bias"])[:, None]], 1
+            )
+            np.testing.assert_allclose(
+                got, t_v[i], rtol=5e-3, atol=5e-5,
+                err_msg=f"step {step} layer {i}",
+            )
+
+
 def test_eigen_preconditioned_grad_parity_conv():
     """End-to-end parity: eigen-KFAC preconditioned conv gradient equals the
     reference pipeline (mat_eig + eigen formula, eigen.py:137-144) computed
