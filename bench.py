@@ -109,6 +109,17 @@ def _build(model_name, batch, image, num_classes):
             kfac_update_freq=_env_i("KFB_TINV", 1),
             fac_update_freq=_env_i("KFB_TCOV", 1),
             static_schedule=True,
+            symeig_impl=os.environ.get("KFB_SYMEIG", "xla"),
+            tracking_warmup=_env_i("KFB_TRACK_WARMUP", 1),
+            blocked_min_dim=_env_i("KFB_BLOCKED_MIN", 1024),
+            blocked_inner_schedule=(
+                tuple(
+                    int(s)
+                    for s in os.environ["KFB_BLOCKED_SCHED"].split(",")
+                )
+                if os.environ.get("KFB_BLOCKED_SCHED")
+                else None
+            ),
             **KFACConfig.exclude_parts_flags(
                 os.environ.get("KFB_EXCLUDE", "")
             ),
@@ -150,7 +161,16 @@ def _time_chained(raw_step, state, batch, scalars, k_hi=8, k_lo=1):
             return st, m["loss"]
 
         st, losses = jax.lax.scan(body, state, None, length=k)
-        return losses[-1]
+        # data-depend on EVERY final-state leaf: fetching only the loss
+        # lets XLA dead-code state chains whose effects stay outside the
+        # measured window (e.g. the factor EMA when the fused CG no longer
+        # reads A/G directly) — which would make the benchmark a lie
+        probe = sum(
+            jnp.sum(l).astype(jnp.float32) * 1e-30
+            for l in jax.tree_util.tree_leaves(st)
+            if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)
+        )
+        return losses[-1] + probe
 
     def run(k):
         t0 = time.perf_counter()
@@ -177,8 +197,14 @@ def main():
             (sgd_raw, sgd_st), (kfac_raw, kfac_st), data, scalars = _build(
                 model_name, batch, image, classes
             )
-            t_sgd = _time_chained(sgd_raw, sgd_st, data, scalars)
-            t_kfac = _time_chained(kfac_raw, kfac_st, data, scalars)
+            # amortized window: with TInv > 1, span exactly one refresh
+            # period so (T(TInv+1) - T(1)) / TInv includes 1/TInv of the
+            # decomposition cost
+            tinv = _env_i("KFB_TINV", 1)
+            k_hi = max(8, tinv + 1)
+            t_sgd = _time_chained(sgd_raw, sgd_st, data, scalars, k_hi=k_hi)
+            t_kfac = _time_chained(kfac_raw, kfac_st, data, scalars,
+                                   k_hi=k_hi)
             ratio = t_kfac / t_sgd
             print(
                 json.dumps(

@@ -125,7 +125,7 @@ def symeig_blocked_padded(
     eps: float = 1e-10,
     *,
     block: int = 128,
-    inner_schedule: Sequence[int] = (4, 2, 1, 1, 0, 0),
+    inner_schedule: Optional[Sequence[int]] = None,
     precision=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Clamped blocked-Jacobi symeig with identity padding to a multiple of
@@ -213,11 +213,26 @@ def tracking_symeig_update(
     return w, v
 
 
+def default_inner_schedule(n: int, block: int) -> Tuple[int, ...]:
+    """Sweep schedule scaled to the block count k = n/block.
+
+    MEASURED (round 2, CPU exact-inner): convergence of the parallel
+    (Brent-Luk) block ordering needs roughly k + 2 sweeps — k=4 converges in
+    6, k=8 in 10 — a known property of static parallel orderings (sequential
+    or dynamic orderings converge in O(1) sweeps but serialize). The
+    schedule spends exact inner solves early and perturbative (all-matmul)
+    polish late.
+    """
+    k = max(n // block, 2)
+    exact = max(k, 4)
+    return (4, 2) + (1,) * (exact - 2) + (0, 0)
+
+
 def blocked_jacobi_symeig(
     a: jax.Array,
     *,
     block: int = 128,
-    inner_schedule: Sequence[int] = (6, 4, 2, 0, 0, 0, 0, 0),
+    inner_schedule: Optional[Sequence[int]] = None,
     shift_scale: float = 1e-6,
     precision=None,
     final_precision=jax.lax.Precision.HIGHEST,
@@ -226,8 +241,12 @@ def blocked_jacobi_symeig(
 
     a: (..., n, n) SPD, n divisible by 2*block and by 256 (the inner Pallas
     kernel's tiling; use symeig_auto for identity padding).
-    inner_schedule: one entry per outer sweep — Pallas inner-sweep count, or
-    0 for the perturbative rotation (cheap, valid once near-diagonal).
+    inner_schedule: one entry per outer sweep — Pallas inner-sweep count
+    (> 0), 0 for the perturbative rotation (cheap, valid once
+    near-diagonal), < 0 for batched XLA eigh (exact; CPU fallback). None =
+    default_inner_schedule(n, block) — note the sweep count grows ~ n/block
+    (parallel-ordering property), which caps this kernel's win to moderate
+    dims; the production large-dim path is the tracking refresh below.
     precision: matmul precision of the Gram/update GEMMs (None = default =
     bf16 MXU passes with f32 accumulation); the final sweep and the
     eigenvalue extraction run at ``final_precision``.
@@ -240,6 +259,8 @@ def blocked_jacobi_symeig(
     b = block
     if n % (2 * b) != 0:
         raise ValueError(f"n={n} must be divisible by 2*block={2*b}")
+    if inner_schedule is None:
+        inner_schedule = default_inner_schedule(n, b)
     k = n // b
     half = k // 2
     a = a.astype(jnp.float32).reshape(-1, n, n)

@@ -203,11 +203,14 @@ def _bucket_real_rows(bucket: Bucket) -> int:
     return sum(1 for r in bucket.rows if r >= 0)
 
 
-def _precond_flops(n_rows: int, da: int, dg: int) -> float:
-    """Per-step preconditioning matmul FLOPs of one bucket (the dominant
-    repeated cost): operator + preconditioner applications are each two
-    matmuls (dg x dg)(dg x da) + (dg x da)(da x da) per row."""
-    return 4.0 * n_rows * da * dg * (da + dg)
+def _precond_flops(n_rows: int, da: int, dg: int,
+                   iters: float = 6.0) -> float:
+    """Per-STEP preconditioning matmul FLOPs of one bucket: ~2 GEMM
+    applications of (dg x dg)(dg x da) + (dg x da)(da x da) per row per CG
+    iteration, times the iteration count — the same horizon the per-bucket
+    dispatch cost is calibrated over (round-2 fix: counting flops for one
+    iteration against a whole-step dispatch cost over-merged 6x)."""
+    return 4.0 * n_rows * da * dg * (da + dg) * iters
 
 
 def pack_buckets(
@@ -217,6 +220,7 @@ def pack_buckets(
     *,
     flop_rate: float,
     dispatch_cost: float,
+    iters: float = 6.0,
 ) -> List[Bucket]:
     """Greedy cost-model bucket merging.
 
@@ -238,11 +242,11 @@ def pack_buckets(
                 da, dg = max(bi.da, bj.da), max(bi.dg, bj.dg)
                 ni, nj = _bucket_real_rows(bi), _bucket_real_rows(bj)
                 cost_now = (
-                    _precond_flops(ni, bi.da, bi.dg)
-                    + _precond_flops(nj, bj.da, bj.dg)
+                    _precond_flops(ni, bi.da, bi.dg, iters)
+                    + _precond_flops(nj, bj.da, bj.dg, iters)
                 ) / flop_rate + 2 * dispatch_cost
                 cost_merged = (
-                    _precond_flops(ni + nj, da, dg) / flop_rate
+                    _precond_flops(ni + nj, da, dg, iters) / flop_rate
                     + dispatch_cost
                 )
                 gain = cost_now - cost_merged

@@ -217,8 +217,9 @@ class KFACConfig:
     blocked_min_dim: int = 1024
     blocked_block: int = 128
     # per-outer-sweep inner solver: >0 Pallas Jacobi sweeps, 0 perturbative
-    # (all-matmul), <0 batched XLA eigh
-    blocked_inner_schedule: Any = (4, 2, 1, 1, 0, 0)
+    # (all-matmul), <0 batched XLA eigh; None = auto schedule scaled to
+    # n/block (blocked_symeig.default_inner_schedule)
+    blocked_inner_schedule: Any = None
     tracking_iters: int = 2
     # exact decompositions for the first N refreshes: the EMA transient
     # from identity to the data covariance is a large spectral excursion
@@ -264,10 +265,18 @@ class KFACConfig:
                 and n >= self.blocked_min_dim
             ):
                 from kfac_pytorch_tpu.ops.blocked_symeig import (
+                    default_inner_schedule,
                     symeig_blocked_padded,
                 )
 
-                sched = tuple(self.blocked_inner_schedule)
+                if self.blocked_inner_schedule is None:
+                    step = max(2 * self.blocked_block, 256)
+                    n_pad = ((n + step - 1) // step) * step
+                    sched = default_inner_schedule(
+                        n_pad, self.blocked_block
+                    )
+                else:
+                    sched = tuple(self.blocked_inner_schedule)
                 if not on_tpu:
                     # Pallas inner solves only lower on TPU; the XLA-eigh
                     # inner (< 0) is the exact portable fallback

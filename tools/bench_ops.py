@@ -112,6 +112,59 @@ def bench_jacobi(sizes, results, batch=8):
         )
 
 
+def bench_blocked(sizes, results, schedules=None):
+    """Blocked one-sided Jacobi (ops/blocked_symeig.py) vs XLA QDWH eigh on
+    large single factors — the large-dim half of the tcmm f_symeig story
+    (cuSOLVER syevd served all sizes; XLA eigh collapses above ~2048)."""
+    import jax
+    import jax.numpy as jnp
+    from kfac_pytorch_tpu.ops import linalg as L
+    from kfac_pytorch_tpu.ops.blocked_symeig import symeig_blocked_padded
+
+    from kfac_pytorch_tpu.ops.blocked_symeig import default_inner_schedule
+
+    on_tpu = jax.default_backend() == "tpu"
+    if schedules is None:
+        if on_tpu:
+            schedules = [("auto", None)]
+        else:
+            schedules = [("xauto", "x")]  # auto length, xla inner
+    rng = np.random.RandomState(0)
+    for n in sizes:
+        if n < 1024:
+            continue
+        m = jnp.asarray(_spd(rng, n))
+        fx = jax.jit(lambda x: L.symeig(x))
+        tx = _timeit(fx, m, iters=3)
+        print(f"blocked  n={n:5d}  xla eigh {tx*1e3:9.2f} ms")
+        for name, sched in schedules:
+            if sched == "x":  # auto-length schedule with XLA-eigh inner
+                sched = tuple(
+                    -1 if s > 0 else s
+                    for s in default_inner_schedule(n, 128)
+                )
+            fb = jax.jit(
+                lambda x, s=sched: symeig_blocked_padded(
+                    x, inner_schedule=s
+                )
+            )
+            tb = _timeit(fb, m, iters=3)
+            w, v = fb(m)
+            recon = jnp.einsum("ij,j,kj->ik", v, w, v)
+            err = float(jnp.linalg.norm(recon - m) / jnp.linalg.norm(m))
+            orth = float(jnp.linalg.norm(
+                v.T @ v - jnp.eye(n)) / np.sqrt(n))
+            results.append(
+                {"op": "blocked_vs_xla", "n": n, "sched": name,
+                 "blocked_s": tb, "xla_s": tx, "rel_err": err,
+                 "orth_err": orth}
+            )
+            print(
+                f"blocked  n={n:5d}  {name:>12s} {tb*1e3:9.2f} ms | "
+                f"speedup {tx/tb:5.2f}x | recon {err:.1e} | orth {orth:.1e}"
+            )
+
+
 def bench_cholesky(sizes, results):
     import jax
     import jax.numpy as jnp
@@ -200,8 +253,8 @@ def bench_patches(results, batch=32):
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--op", default="all",
-                   choices=["symeig", "jacobi", "cholesky", "gemm",
-                            "patches", "all"])
+                   choices=["symeig", "jacobi", "blocked", "cholesky",
+                            "gemm", "patches", "all"])
     p.add_argument("--sizes", type=int, nargs="+",
                    default=[128, 256, 512, 1024, 2048, 4608])
     p.add_argument("--json", action="store_true")
@@ -219,6 +272,8 @@ def main(argv=None):
         bench_symeig(args.sizes, results)
     if args.op in ("jacobi", "all"):
         bench_jacobi(args.sizes, results)
+    if args.op in ("blocked", "all"):
+        bench_blocked(args.sizes, results)
     if args.op in ("cholesky", "all"):
         bench_cholesky(args.sizes, results)
     if args.op in ("gemm", "all"):

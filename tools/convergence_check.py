@@ -59,7 +59,8 @@ def make_dataset(n, classes, seed):
     return x, y
 
 
-def run_arm(variant, x, y, xv, yv, steps, batch, lr, damping, seed):
+def run_arm(variant, x, y, xv, yv, steps, batch, lr, damping, seed,
+            eval_every=0):
     model = get_model("resnet20", num_classes=10)
     sample = jnp.asarray(x[:batch])
     variables = model.init(jax.random.PRNGKey(seed), sample, train=True)
@@ -71,7 +72,14 @@ def run_arm(variant, x, y, xv, yv, steps, batch, lr, damping, seed):
         specs, perturbs = ktpu.setup_kfac(
             model, {"params": params, **model_state}, sample, train=True
         )
-        kfac = ktpu.get_kfac_module(variant)(specs, damping=damping)
+        # 'tracking_dp': eigen_dp with the online eigenbasis-tracking
+        # refresh (ops/blocked_symeig.tracking_symeig_update)
+        if variant == "tracking_dp":
+            kfac = ktpu.get_kfac_module("eigen_dp")(
+                specs, damping=damping, symeig_impl="tracking"
+            )
+        else:
+            kfac = ktpu.get_kfac_module(variant)(specs, damping=damping)
     tx = optax.chain(
         optax.add_decayed_weights(5e-4),
         optax.trace(0.9),
@@ -91,18 +99,27 @@ def run_arm(variant, x, y, xv, yv, steps, batch, lr, damping, seed):
     data_rng = np.random.RandomState(seed)
     n = len(x)
     m = None
+    curve = []  # (step, val_loss, val_acc) trajectory
     for s in range(steps):
         idx = data_rng.randint(0, n, batch)
         state, m = step(state, (jnp.asarray(x[idx]), jnp.asarray(y[idx])),
                         scalars)
+        if eval_every and (s + 1) % eval_every == 0:
+            em = eval_step(state.params, state.model_state,
+                           (jnp.asarray(xv), jnp.asarray(yv)))
+            curve.append((s + 1, round(float(em["loss"]), 4),
+                          round(float(em["accuracy"]), 4)))
     em = eval_step(state.params, state.model_state,
                    (jnp.asarray(xv), jnp.asarray(yv)))
-    return {
+    out = {
         "train_loss": float(m["loss"]),
         "train_acc": float(m["accuracy"]),
         "val_loss": float(em["loss"]),
         "val_acc": float(em["accuracy"]),
     }
+    if curve:
+        out["val_curve"] = curve
+    return out
 
 
 def main(argv=None):
@@ -114,6 +131,8 @@ def main(argv=None):
     p.add_argument("--damping", type=float, default=0.03)
     p.add_argument("--variants", nargs="+",
                    default=["sgd", "eigen_dp", "inverse_dp"])
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="record a val-accuracy curve every N steps")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
     from kfac_pytorch_tpu.utils.platform import ensure_platform_from_env
@@ -128,7 +147,7 @@ def main(argv=None):
     for v in args.variants:
         results[v] = run_arm(
             v, x, y, xv, yv, args.steps, args.batch, args.lr, args.damping,
-            args.seed,
+            args.seed, eval_every=args.eval_every,
         )
         print(v, json.dumps(results[v]))
     if "sgd" in results and "eigen_dp" in results:
