@@ -109,6 +109,7 @@ def _build(model_name, batch, image, num_classes):
             kfac_update_freq=_env_i("KFB_TINV", 1),
             fac_update_freq=_env_i("KFB_TCOV", 1),
             static_schedule=True,
+            factor_impl=os.environ.get("KFB_FACTOR", "xla"),
             symeig_impl=os.environ.get("KFB_SYMEIG", "xla"),
             tracking_warmup=_env_i("KFB_TRACK_WARMUP", 1),
             blocked_min_dim=_env_i("KFB_BLOCKED_MIN", 1024),

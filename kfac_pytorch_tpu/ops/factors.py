@@ -165,6 +165,35 @@ def compute_a_dense(
     )
 
 
+def _patch_col_sums(
+    a: jax.Array,
+    kernel_size: Tuple[int, int],
+    strides: Tuple[int, int],
+    padding: PadPairs,
+) -> Tuple[jax.Array, int]:
+    """(column sums of the im2col matrix (D,), n_rows) — without
+    materializing patches: one strided-window reduce per tap."""
+    kh, kw = kernel_size
+    sh, sw = strides
+    (ph0, ph1), (pw0, pw1) = padding
+    if ph0 or ph1 or pw0 or pw1:
+        a = jnp.pad(a, ((0, 0), (ph0, ph1), (pw0, pw1), (0, 0)))
+    b, hh, ww, c = a.shape
+    oh = (hh - kh) // sh + 1
+    ow = (ww - kw) // sw + 1
+    cols = []
+    for i in range(kh):
+        for j in range(kw):
+            win = jax.lax.slice(
+                a,
+                (0, i, j, 0),
+                (b, i + (oh - 1) * sh + 1, j + (ow - 1) * sw + 1, c),
+                (1, sh, sw, 1),
+            )
+            cols.append(jnp.sum(win, axis=(0, 1, 2), dtype=jnp.float32))
+    return jnp.concatenate(cols), b * oh * ow
+
+
 def compute_a_conv(
     a: jax.Array,
     kernel_size: Tuple[int, int],
@@ -174,14 +203,38 @@ def compute_a_conv(
     *,
     dtype=jnp.float32,
     precision=None,
+    impl: str = "xla",
 ) -> jax.Array:
     """A factor for a conv layer. a: (B, H, W, C) NHWC.
 
     Returns (kh*kw*C[+1], kh*kw*C[+1]) fp32.
     Parity: reference utils.py:85-94 (note the bias ones column is appended
     *before* the spatial_size division, so it is scaled too).
+
+    impl='pallas' streams the patch covariance through the fused Pallas
+    kernel (ops/pallas/patch_cov.py) — no HBM patch materialization — for
+    supported geometries (multi-tap kernel, lane-friendly channel counts);
+    unsupported layers and non-TPU backends fall back to the XLA path.
     """
     batch_size = a.shape[0]
+    if impl == "pallas" and jax.default_backend() == "tpu":
+        from kfac_pytorch_tpu.ops.pallas import patch_cov as pcov
+
+        if pcov.supported(a.shape, kernel_size):
+            pp = pcov.patch_cov(
+                a.astype(jnp.float32), kernel_size, strides, padding
+            )
+            col, n_rows = _patch_col_sums(a, kernel_size, strides, padding)
+            oh_ow = n_rows // batch_size
+            scale = 1.0 / (oh_ow * oh_ow * batch_size)
+            pp = pp * scale
+            if not has_bias:
+                return pp
+            col = col * scale
+            corner = jnp.asarray(n_rows * scale, jnp.float32)
+            top = jnp.concatenate([pp, col[:, None]], axis=1)
+            bot = jnp.concatenate([col, corner[None]])[None, :]
+            return jnp.concatenate([top, bot], axis=0)
     p = extract_patches(a, kernel_size, strides, padding)
     spatial_size = p.shape[1] * p.shape[2]
     v = p.reshape(-1, p.shape[-1])

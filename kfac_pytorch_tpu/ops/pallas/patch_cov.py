@@ -1,0 +1,167 @@
+"""Fused im2col + covariance GEMM for conv K-FAC A-factors (Pallas, TPU).
+
+The A factor of a conv layer is A = scale * X^T X with X = im2col(a) of
+shape (B*oh*ow, kh*kw*C). The XLA path (ops/factors.extract_patches +
+dot_general) MATERIALIZES X in HBM: for ResNet-50/bs32 that is ~2.7 GB
+written and read back per step — roughly half the measured factor-stage
+cost (BENCH_NOTES round 2). This kernel streams activation tiles through
+VMEM, builds the patch rows on-chip, and accumulates the covariance on the
+MXU; X never touches HBM.
+
+This is the fused "patch-extract + tensor-core GEMM" native component the
+reference approximates with tcmm's f_gemm_ex
+(/root/reference/packages/tcmm/src/tcmm_kernel.cu:125-157) plus a separate
+im2col; SURVEY.md §7 lists it as the round-goal native kernel.
+
+Blocking: grid = (column-chunks of A, batch-chunks), batch fastest so each
+output column block accumulates over consecutive grid steps. Per step the
+kernel loads one (b_chunk, Hp, Wp, C) padded-activation tile, assembles the
+full patch row-block X_cat (N, D) in VMEM scratch from kh*kw strided
+windows, and issues one (N, D)^T (N, c_chunk) MXU dot into the (D, c_chunk)
+output block. Requirements: NHWC f32 input, C a multiple of (or smaller
+than) the lane width handled by Mosaic; static shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PadPairs = Tuple[Tuple[int, int], Tuple[int, int]]
+
+
+def _kernel(a_ref, out_ref, xcat_ref, *, kh, kw, sh, sw, oh, ow, c,
+            c_chunk, n_b):
+    """One grid step: build X_cat from the activation tile, accumulate one
+    column chunk of X^T X."""
+    nb = pl.program_id(1)
+    bc = a_ref.shape[0]
+    n_rows = bc * oh * ow
+
+    # assemble patch rows in VMEM: X_cat[:, (i*kw+j)*c : +c] = window(i, j)
+    # (stored in the compute dtype — bf16 on the MXU fast path, halving
+    # scratch VMEM; accumulation stays f32 via preferred_element_type,
+    # matching the XLA path's default-precision GEMM)
+    for i in range(kh):
+        for j in range(kw):
+            win = a_ref[
+                :,
+                i : i + (oh - 1) * sh + 1 : sh,
+                j : j + (ow - 1) * sw + 1 : sw,
+                :,
+            ]
+            xcat_ref[:, (i * kw + j) * c : (i * kw + j + 1) * c] = (
+                win.reshape(n_rows, c).astype(xcat_ref.dtype)
+            )
+
+    col = pl.program_id(0)
+    rhs = xcat_ref[:, pl.dslice(col * c_chunk, c_chunk)]
+    acc = jax.lax.dot_general(
+        xcat_ref[...],
+        rhs,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(nb == 0)
+    def _():
+        out_ref[...] = acc
+
+    @pl.when(nb != 0)
+    def _():
+        out_ref[...] += acc
+
+
+def _pick_b_chunk(b: int, oh: int, ow: int, d: int,
+                  itemsize: int = 2) -> int:
+    """Largest batch chunk dividing b with X_cat under ~4 MB and row count
+    reasonable for the MXU contraction."""
+    best = 1
+    for bc in range(1, b + 1):
+        if b % bc:
+            continue
+        n = bc * oh * ow
+        if n * d * itemsize <= 4 * 1024 * 1024:
+            best = bc
+    return best
+
+
+def supported(a_shape, kernel_size, c_chunk_cap=512) -> bool:
+    """Geometry gate: lane-friendly channel counts and a multi-tap kernel
+    (1x1 convs and tiny-C stems keep the XLA path)."""
+    b, h, w, c = a_shape
+    kh, kw = kernel_size
+    if kh * kw == 1 or c < 64 or c % 8 != 0:
+        return False
+    return True
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kernel_size", "strides", "padding", "compute_dtype"),
+)
+def patch_cov(
+    a: jax.Array,
+    kernel_size: Tuple[int, int],
+    strides: Tuple[int, int],
+    padding: PadPairs,
+    compute_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Raw patch covariance X^T X (no scaling, no bias row/col).
+
+    a: (B, H, W, C) float32 NHWC. Returns (D, D) float32, D = kh*kw*C,
+    feature order (kh, kw, c) — identical to
+    extract_patches(...).reshape(-1, D) summed as X^T X (at
+    ``compute_dtype`` GEMM-input precision; f32 accumulation either way).
+    """
+    kh, kw = kernel_size
+    sh, sw = strides
+    (ph0, ph1), (pw0, pw1) = padding
+    if ph0 or ph1 or pw0 or pw1:
+        a = jnp.pad(a, ((0, 0), (ph0, ph1), (pw0, pw1), (0, 0)))
+    b, hp, wp, c = a.shape
+    oh = (hp - kh) // sh + 1
+    ow = (wp - kw) // sw + 1
+    d = kh * kw * c
+    c_chunk = c if c <= 128 else 128
+    while d % c_chunk:
+        c_chunk //= 2
+    n_cols = d // c_chunk
+    bc = _pick_b_chunk(b, oh, ow, d, jnp.dtype(compute_dtype).itemsize)
+    n_b = b // bc
+    n_rows = bc * oh * ow
+
+    kernel = functools.partial(
+        _kernel, kh=kh, kw=kw, sh=sh, sw=sw, oh=oh, ow=ow, c=c,
+        c_chunk=c_chunk, n_b=n_b,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_cols, n_b),
+        in_specs=[
+            pl.BlockSpec(
+                (bc, hp, wp, c), lambda col, nb: (nb, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (d, c_chunk), lambda col, nb: (0, col),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((d, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((n_rows, d), jnp.dtype(compute_dtype))],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * oh * ow * d * d,
+            bytes_accessed=b * hp * wp * c * 4 * n_cols,
+            transcendentals=0,
+        ),
+    )(a)
+    return out

@@ -363,7 +363,10 @@ class BlockKFAC:
                 fdt = self.config._factor_dtype
                 a_list.append(
                     _embed_eye(
-                        compute_factor_a(spec, a, prec, fdt), bucket.da
+                        compute_factor_a(
+                            spec, a, prec, fdt, self.config.factor_impl
+                        ),
+                        bucket.da,
                     )[None]
                 )
                 g_list.append(
@@ -392,7 +395,7 @@ class BlockKFAC:
                         ax, s0.kernel_size, s0.strides, s0.padding,
                         s0.has_bias, precision=prec, dtype=fdt,
                     )
-                )(a_g)
+                )(a_g)  # grouped: per-group C is small; XLA path
                 fg = jax.vmap(
                     lambda gx: fops.compute_g_conv(gx, precision=prec,
                                                    dtype=fdt)

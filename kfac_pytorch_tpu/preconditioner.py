@@ -113,7 +113,7 @@ def write_grad_2d(node: Dict[str, jax.Array], spec: LayerSpec,
 
 
 def compute_factor_a(spec: LayerSpec, a: jax.Array, precision=None,
-                     dtype=jnp.float32) -> jax.Array:
+                     dtype=jnp.float32, impl: str = "xla") -> jax.Array:
     """Kronecker A factor for one layer (dense or conv) from its input.
 
     Grouped convs use only the group's input-channel slice (block-diagonal
@@ -126,7 +126,7 @@ def compute_factor_a(spec: LayerSpec, a: jax.Array, precision=None,
         a = a[..., spec.group_idx * cg : (spec.group_idx + 1) * cg]
     return fops.compute_a_conv(
         a, spec.kernel_size, spec.strides, spec.padding, spec.has_bias,
-        precision=precision, dtype=dtype,
+        precision=precision, dtype=dtype, impl=impl,
     )
 
 
@@ -195,6 +195,10 @@ class KFACConfig:
     # tensor-core path (utils.py:156,217); accumulation stays fp32 either
     # way via preferred_element_type
     factor_dtype: Any = "float32"
+    # A-factor implementation: 'xla' (extract_patches + dot_general) or
+    # 'pallas' (fused streaming patch covariance, ops/pallas/patch_cov.py —
+    # no HBM patch materialization; supported conv geometries on TPU only)
+    factor_impl: str = "xla"
 
     @property
     def _factor_dtype(self):
@@ -372,7 +376,8 @@ class KFAC:
 
     def _compute_a(self, spec: LayerSpec, a: jax.Array) -> jax.Array:
         return compute_factor_a(spec, a, self.config.precision,
-                                self.config._factor_dtype)
+                                self.config._factor_dtype,
+                                self.config.factor_impl)
 
     def _compute_g(self, spec: LayerSpec, g: jax.Array) -> jax.Array:
         return compute_factor_g(spec, g, self.config.precision,

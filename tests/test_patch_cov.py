@@ -1,0 +1,88 @@
+"""Fused Pallas patch-covariance kernel (ops/pallas/patch_cov.py).
+
+Interpret mode on CPU; the compiled path is validated on real TPU by
+tools/bench_ops.py --op patches and the bench's factor_impl=pallas arm.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from jax.experimental.pallas import tpu as pltpu
+
+from kfac_pytorch_tpu.ops import factors as fops
+from kfac_pytorch_tpu.ops.pallas import patch_cov as pcov
+
+
+@pytest.mark.parametrize(
+    "b,h,w,c,k,s,p",
+    [
+        (2, 8, 8, 64, 3, 1, 1),
+        (2, 9, 9, 64, 3, 2, 1),
+        (1, 8, 8, 128, 3, 1, 1),
+        (1, 10, 10, 64, 5, 1, 2),
+    ],
+)
+def test_patch_cov_matches_materialized(b, h, w, c, k, s, p):
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    pad = ((p, p), (p, p))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            pcov.patch_cov(a, (k, k), (s, s), pad,
+                           compute_dtype=jnp.float32)
+        )
+    x = np.asarray(
+        fops.extract_patches(a, (k, k), (s, s), pad)
+    ).reshape(-1, k * k * c)
+    np.testing.assert_allclose(got, x.T @ x, rtol=1e-5, atol=1e-4)
+
+
+def test_compute_a_conv_pallas_impl_with_bias():
+    """The full A-factor (scale + bias row/col assembly) through the pallas
+    impl equals the XLA path."""
+    rng = np.random.RandomState(1)
+    a = jnp.asarray(rng.randn(2, 8, 8, 64).astype(np.float32))
+    args = ((3, 3), (1, 1), ((1, 1), (1, 1)), True)
+    want = np.asarray(fops.compute_a_conv(a, *args))
+
+    # drive the pallas branch explicitly (CPU: interpret mode, f32)
+    orig = pcov.patch_cov
+    try:
+        pcov_calls = []
+
+        def wrapped(x, ks, st, pd, compute_dtype=jnp.bfloat16):
+            pcov_calls.append(1)
+            with pltpu.force_tpu_interpret_mode():
+                return orig(x, ks, st, pd, compute_dtype=jnp.float32)
+
+        pcov.patch_cov = wrapped
+        backend = jax.default_backend
+
+        jax.default_backend = lambda: "tpu"  # force the pallas branch
+        got = np.asarray(fops.compute_a_conv(a, *args, impl="pallas"))
+    finally:
+        pcov.patch_cov = orig
+        jax.default_backend = backend
+    assert pcov_calls
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_patch_col_sums():
+    rng = np.random.RandomState(2)
+    a = jnp.asarray(rng.randn(3, 7, 7, 8).astype(np.float32))
+    pad = ((1, 1), (1, 1))
+    col, n_rows = fops._patch_col_sums(a, (3, 3), (1, 1), pad)
+    x = np.asarray(
+        fops.extract_patches(a, (3, 3), (1, 1), pad)
+    ).reshape(-1, 9 * 8)
+    assert n_rows == x.shape[0]
+    np.testing.assert_allclose(np.asarray(col), x.sum(0), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_supported_gate():
+    assert pcov.supported((2, 8, 8, 64), (3, 3))
+    assert not pcov.supported((2, 8, 8, 64), (1, 1))  # 1x1: no patches
+    assert not pcov.supported((2, 224, 224, 3), (7, 7))  # tiny C stem
