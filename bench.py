@@ -152,6 +152,7 @@ def _time_chained(raw_step, state, batch, scalars, k_hi=8, k_lo=1):
     """Per-step time via scan-chained execution, cancelling dispatch and
     transfer overhead: (T(k_hi) - T(k_lo)) / (k_hi - k_lo)."""
     import jax
+    import jax.numpy as jnp
 
     import functools
 

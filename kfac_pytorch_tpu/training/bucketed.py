@@ -79,6 +79,75 @@ def init_bucketed_state(
     )
 
 
+def bucketed_state_pspecs(kfac: BlockKFAC, state: BucketedTrainState,
+                          axis: str = "data"):
+    """PartitionSpec pytree for a BucketedTrainState: params/other replicated,
+    K-FAC bucket arrays and bucket momentum sharded on the stacked-layer
+    axis."""
+    from jax.sharding import PartitionSpec as P
+
+    repl = lambda t: jax.tree_util.tree_map(lambda _: P(), t)
+    return BucketedTrainState(
+        params=repl(state.params),
+        mom_buckets=[P(axis) for _ in kfac.buckets],
+        other_mom=repl(state.other_mom),
+        kfac_state=kfac.state_pspecs(axis),
+        model_state=repl(state.model_state),
+    )
+
+
+def shard_bucketed_state(mesh, kfac: BlockKFAC, state: BucketedTrainState,
+                         axis: str = "data") -> BucketedTrainState:
+    """Place a BucketedTrainState on the mesh per bucketed_state_pspecs."""
+    from jax.sharding import NamedSharding
+
+    specs = bucketed_state_pspecs(kfac, state, axis)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        state,
+        specs,
+    )
+
+
+def make_sharded_bucketed_train_step(
+    model,
+    kfac: BlockKFAC,
+    mesh,
+    state_template: BucketedTrainState,
+    local_perturb_template,
+    *,
+    axis: str = "data",
+    **step_kwargs,
+):
+    """shard_map-wrapped bucket-resident train step over ``mesh``.
+
+    ``local_perturb_template`` must be shaped for the device-local batch.
+    Returns a jitted step(state, batch, scalars) — the distributed
+    counterpart of make_bucketed_train_step (batch sharded over ``axis``,
+    gradient pmean inside, K-FAC buckets and momentum sharded on their
+    layer axis).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    local = make_bucketed_train_step(
+        model, kfac, perturb_template=local_perturb_template, axis=axis,
+        **step_kwargs,
+    )
+    state_specs = bucketed_state_pspecs(kfac, state_template, axis)
+    scalar_specs = jax.tree_util.tree_map(
+        lambda _: P(), KFACScalars.create(0.0)
+    )
+    sharded = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(state_specs, (P(axis), P(axis)), scalar_specs),
+        out_specs=(state_specs, {"loss": P(), "accuracy": P()}),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def make_bucketed_train_step(
     model,
     kfac: BlockKFAC,

@@ -248,10 +248,12 @@ def test_kfac_leaf_mask():
 
 
 def test_bucketed_sharded_dp_smoke():
-    """Bucketed trainer inside shard_map on the simulated mesh: dp strategy
-    trains."""
-    from jax import shard_map
-    from jax.sharding import PartitionSpec as P
+    """Bucketed trainer inside shard_map on the simulated mesh (via the
+    make_sharded_bucketed_train_step assembly): dp strategy trains."""
+    from kfac_pytorch_tpu.training.bucketed import (
+        make_sharded_bucketed_train_step,
+        shard_bucketed_state,
+    )
 
     model, params, model_state, specs, perturbs, x, y = _setup(
         batch=32, seed=6
@@ -266,41 +268,12 @@ def test_bucketed_sharded_dp_smoke():
     local_pert = ktpu.make_zero_perturbations(
         model, {"params": params, **model_state}, local_x, train=True
     )
-    step_local = make_bucketed_train_step(
-        model, kfac, perturb_template=local_pert,
-        train_kwargs={"train": True}, axis="data",
-    )
     st = init_bucketed_state(kfac, params, model_state=model_state)
-
-    repl = jax.tree_util.tree_map(lambda _: P(), st.params)
-    state_specs = BucketedTrainState(
-        params=repl,
-        mom_buckets=[P("data") for _ in kfac.buckets],
-        other_mom=jax.tree_util.tree_map(lambda _: P(), st.other_mom),
-        kfac_state=kfac.state_pspecs("data"),
-        model_state=jax.tree_util.tree_map(lambda _: P(), st.model_state),
+    step_fn = make_sharded_bucketed_train_step(
+        model, kfac, mesh, st, local_pert,
+        train_kwargs={"train": True},
     )
-    mom_sharded = [
-        jax.device_put(
-            m, jax.sharding.NamedSharding(mesh, P("data"))
-        )
-        for m in st.mom_buckets
-    ]
-    st = BucketedTrainState(
-        params=st.params,
-        mom_buckets=mom_sharded,
-        other_mom=st.other_mom,
-        kfac_state=kfac.shard_state(mesh, st.kfac_state),
-        model_state=st.model_state,
-    )
-    step_fn = jax.jit(shard_map(
-        step_local, mesh=mesh,
-        in_specs=(state_specs, (P("data"), P("data")),
-                  jax.tree_util.tree_map(lambda _: P(),
-                                         KFACScalars.create(0.0))),
-        out_specs=(state_specs, {"loss": P(), "accuracy": P()}),
-        check_vma=False,
-    ))
+    st = shard_bucketed_state(mesh, kfac, st)
     data = meshlib.shard_batch(mesh, (x, y))
     scalars = KFACScalars.create(lr=0.05, damping=0.03)
     losses = []
