@@ -77,6 +77,14 @@ def parse_args(argv=None):
     p.add_argument("--exclude-parts", default="")
     p.add_argument("--kfac-type", default="Femp", choices=["Femp", "F1mc"],
                    help="empirical Fisher vs true-Fisher MC sampling")
+    p.add_argument("--symeig-impl", default="xla",
+                   choices=["xla", "jacobi", "blocked", "tracking"],
+                   help="eigen-variant eigensolver (tracking = online "
+                        "eigenbasis refresh, matmuls only)")
+    p.add_argument("--factor-impl", default="xla",
+                   choices=["xla", "pallas"],
+                   help="conv A-factor path (pallas = fused streaming "
+                        "patch covariance, TPU only)")
     p.add_argument("--n-devices", type=int, default=None,
                    help="run the sharded mesh path over N devices "
                         "(batch-size becomes per-device)")
@@ -168,6 +176,8 @@ def main(argv=None):
                     strategy=builder.config.strategy,
                     damping=args.damping, kl_clip=args.kl_clip,
                     factor_decay=args.stat_decay,
+                    symeig_impl=args.symeig_impl,
+                    factor_impl=args.factor_impl,
                     **KFACConfig.exclude_parts_flags(args.exclude_parts),
                 ),
                 world_size=n_dev,
@@ -178,6 +188,8 @@ def main(argv=None):
                 damping=args.damping,
                 kl_clip=args.kl_clip,
                 factor_decay=args.stat_decay,
+                symeig_impl=args.symeig_impl,
+                factor_impl=args.factor_impl,
                 **KFACConfig.exclude_parts_flags(args.exclude_parts),
             )
 

@@ -190,7 +190,11 @@ def tracking_symeig_update(
 
     Near-degenerate eigenvalue pairs keep some coupling (the perturbation
     clamp); for K-FAC this is benign — the preconditioner applies a smooth
-    function of (w, V), invariant under within-cluster mixing.
+    function of (w, V), invariant under within-cluster mixing. (Online
+    decomposition updates for K-FAC factors have published precedent —
+    "Brand New K-FACs: Speeding up K-FAC with Online Decomposition
+    Updates", arXiv:2210.08494 — this formulation is matmul-only and
+    designed for the MXU.)
 
     a: (..., n, n) current factor; v_prev (..., n, n) the carried basis.
     Returns (w, v) with eps-clamping matching ops.linalg.symeig.
