@@ -104,7 +104,9 @@ def _build(model_name, batch, image, num_classes):
             inv_type=os.environ.get("KFB_INV", "pcg"),
             strategy="dp",
             damping=0.002,
-            pcg_iters=_env_i("KFB_ITERS", 6),
+            # 5 CG iterations reproduce the exact eigen update to ~9e-5
+            # relative (measured at damping 0.002; 6 iters: 5e-5)
+            pcg_iters=_env_i("KFB_ITERS", 5),
             pcg_precond_freq=_env_i("KFB_PREC_FREQ", 10),
             kfac_update_freq=_env_i("KFB_TINV", 1),
             fac_update_freq=_env_i("KFB_TCOV", 1),
@@ -112,6 +114,8 @@ def _build(model_name, batch, image, num_classes):
             factor_impl=os.environ.get("KFB_FACTOR", "xla"),
             symeig_impl=os.environ.get("KFB_SYMEIG", "xla"),
             tracking_warmup=_env_i("KFB_TRACK_WARMUP", 1),
+            tracking_exact_freq=_env_i("KFB_TRACK_EXACT", 50),
+            tracking_precision=os.environ.get("KFB_TRACK_PREC", "default"),
             blocked_min_dim=_env_i("KFB_BLOCKED_MIN", 1024),
             blocked_inner_schedule=(
                 tuple(

@@ -711,10 +711,12 @@ class BlockKFAC:
                                 da_, qa = tracking_symeig_update(
                                     e["A"], st["QA"],
                                     iters=cfg.tracking_iters, eps=cfg.eps,
+                                    precision=cfg._tracking_precision,
                                 )
                                 dg_, qg = tracking_symeig_update(
                                     e["G"], st["QG"],
                                     iters=cfg.tracking_iters, eps=cfg.eps,
+                                    precision=cfg._tracking_precision,
                                 )
                                 return da_, qa, dg_, qg
 

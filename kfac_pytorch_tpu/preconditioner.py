@@ -235,6 +235,21 @@ class KFACConfig:
     # reconstruction error per step measured); an exact decomposition every
     # N refreshes bounds the drift at ~1/N amortized cost
     tracking_exact_freq: int = 50
+    # matmul precision of the tracking rotations: 'highest' = full-f32
+    # passes (6 MXU passes per matmul on TPU), 'default' = bf16 passes with
+    # f32 accumulation (~9x faster; basis error ~bf16 epsilon, bounded by
+    # the periodic exact refresh). The rotations are self-correcting
+    # (Newton-Schulz re-orthonormalization every update), so 'default' is
+    # the production setting; 'highest' is for fidelity studies.
+    tracking_precision: str = "default"
+
+    @property
+    def _tracking_precision(self):
+        import jax as _jax
+
+        if self.tracking_precision == "default":
+            return None
+        return _jax.lax.Precision.HIGHEST
     # 'pcg' inv_type: CG iterations for the damped Kronecker solve, and the
     # refresh period of the CG *preconditioner* (the split damped-factor
     # inverses). The preconditioner only affects CG convergence speed — not
@@ -504,10 +519,12 @@ class KFAC:
                                 dA, QA = tracking_symeig_update(
                                     entry["A"], st["QA"],
                                     iters=cfg.tracking_iters, eps=cfg.eps,
+                                    precision=cfg._tracking_precision,
                                 )
                                 dG, QG = tracking_symeig_update(
                                     entry["G"], st["QG"],
                                     iters=cfg.tracking_iters, eps=cfg.eps,
+                                    precision=cfg._tracking_precision,
                                 )
                                 return dA, QA, dG, QG
 
