@@ -136,6 +136,7 @@ def _build(model_name, batch, image, num_classes):
         # HBM-bound, which a pure-FLOP model underestimates)
         merge_flop_rate=_env_f("KFB_MERGE_RATE", 0.0),
         merge_dispatch_cost=_env_f("KFB_MERGE_COST", 0.0),
+        merge_hbm_rate=_env_f("KFB_MERGE_HBM", 8.0e11),
     )
     print(f"# kfac buckets: {len(kfac.buckets)}", file=sys.stderr)
 

@@ -159,6 +159,7 @@ def make_buckets(
     dim_align: int = 8,
     merge_flop_rate: float = 0.0,
     merge_dispatch_cost: float = 0.0,
+    merge_hbm_rate: float = 8.0e11,
 ) -> List[Bucket]:
     """Group layers into same-padded-dim buckets, row-padded to world_size.
 
@@ -195,6 +196,7 @@ def make_buckets(
             buckets, specs, world_size,
             flop_rate=merge_flop_rate,
             dispatch_cost=merge_dispatch_cost,
+            hbm_rate=merge_hbm_rate,
         )
     return buckets
 
@@ -213,6 +215,18 @@ def _precond_flops(n_rows: int, da: int, dg: int,
     return 4.0 * n_rows * da * dg * (da + dg) * iters
 
 
+def _precond_bytes(n_rows: int, da: int, dg: int,
+                   iters: float = 6.0) -> float:
+    """Per-STEP HBM traffic of one bucket's CG stage (f32): each iteration
+    re-reads the two per-row preconditioner matrices (da^2 + dg^2) and
+    streams ~2 copies of the (dg x da) iterate. The batched per-row GEMMs
+    have low arithmetic intensity (~min(da,dg) flops/byte), so small-dim
+    buckets are bandwidth-bound — a pure-FLOP model calls padded merges
+    free when they triple the traffic (the round-1 'blanket merging loses'
+    measurement)."""
+    return 4.0 * n_rows * (da * da + dg * dg + 2.0 * da * dg) * iters
+
+
 def pack_buckets(
     buckets: List[Bucket],
     specs: Sequence[LayerSpec],
@@ -221,6 +235,7 @@ def pack_buckets(
     flop_rate: float,
     dispatch_cost: float,
     iters: float = 6.0,
+    hbm_rate: float = 8.0e11,
 ) -> List[Bucket]:
     """Greedy cost-model bucket merging.
 
@@ -242,11 +257,15 @@ def pack_buckets(
                 da, dg = max(bi.da, bj.da), max(bi.dg, bj.dg)
                 ni, nj = _bucket_real_rows(bi), _bucket_real_rows(bj)
                 cost_now = (
-                    _precond_flops(ni, bi.da, bi.dg, iters)
-                    + _precond_flops(nj, bj.da, bj.dg, iters)
-                ) / flop_rate + 2 * dispatch_cost
+                    (_precond_flops(ni, bi.da, bi.dg, iters)
+                     + _precond_flops(nj, bj.da, bj.dg, iters)) / flop_rate
+                    + (_precond_bytes(ni, bi.da, bi.dg, iters)
+                       + _precond_bytes(nj, bj.da, bj.dg, iters)) / hbm_rate
+                    + 2 * dispatch_cost
+                )
                 cost_merged = (
                     _precond_flops(ni + nj, da, dg, iters) / flop_rate
+                    + _precond_bytes(ni + nj, da, dg, iters) / hbm_rate
                     + dispatch_cost
                 )
                 gain = cost_now - cost_merged

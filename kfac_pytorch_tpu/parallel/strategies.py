@@ -173,12 +173,14 @@ class BlockKFAC:
         dim_align: int = 8,
         merge_flop_rate: float = 0.0,
         merge_dispatch_cost: float = 0.0,
+        merge_hbm_rate: float = 8.0e11,
     ):
         """dim_align: factor dims are padded up to multiples of this before
         bucketing. merge_flop_rate/merge_dispatch_cost (>0 to enable) turn
         on cost-model bucket packing (partition.pack_buckets): small buckets
-        merge when one fewer bucket's fixed dispatch cost beats the padding
-        FLOPs. Identity padding keeps the math exact either way."""
+        merge when one fewer bucket's fixed dispatch cost beats the padded
+        FLOP + HBM-traffic time (merge_hbm_rate, bytes/s). Identity padding
+        keeps the math exact either way."""
         self.specs = tuple(specs)
         self.config = config
         self.world_size = world_size
@@ -186,6 +188,7 @@ class BlockKFAC:
             specs, world_size, dim_align=dim_align,
             merge_flop_rate=merge_flop_rate,
             merge_dispatch_cost=merge_dispatch_cost,
+            merge_hbm_rate=merge_hbm_rate,
         )
         # per-bucket static row metadata: real dims for trace corrections
         self._real_da = [

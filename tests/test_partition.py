@@ -110,3 +110,78 @@ def test_make_buckets_covers_all_layers():
                 if r >= 0:
                     assert specs[r].grad_in_dim <= b.da
                     assert specs[r].out_dim <= b.dg
+
+
+def test_pack_buckets_merges_small_keeps_large():
+    """Cost-model merging: dispatch-floor buckets merge; merging small
+    buckets into a 4608-wide block is rejected (padded FLOPs + HBM traffic
+    exceed the dispatch saving — the round-1 'blanket merging loses'
+    measurement, BENCH_NOTES.md)."""
+    from kfac_pytorch_tpu.capture import LayerSpec
+    from kfac_pytorch_tpu.parallel.partition import pack_buckets
+
+    def spec(d_in, d_out):
+        return LayerSpec(
+            path=(f"l{d_in}x{d_out}",), kind="DENSE", in_dim=d_in,
+            out_dim=d_out, has_bias=False,
+        )
+
+    # several tiny shapes + one large shape (RN50's 4608/512 block)
+    specs = (
+        [spec(64, 64) for _ in range(3)]
+        + [spec(64, 128), spec(128, 64), spec(144, 64)]
+        + [spec(4608, 512) for _ in range(3)]
+    )
+    buckets = make_buckets(specs, world_size=1, dim_align=8)
+    n_before = len(buckets)
+    assert n_before >= 5
+    packed = pack_buckets(
+        buckets, specs, world_size=1,
+        flop_rate=2.0e14, dispatch_cost=1.0e-4, iters=5.0,
+        hbm_rate=8.0e11,
+    )
+    # coverage preserved
+    seen = sorted(r for b in packed for r in b.rows if r >= 0)
+    assert seen == list(range(len(specs)))
+    # small buckets merged...
+    assert len(packed) < n_before
+    # ...but nothing merged INTO the 4608-dim bucket (it stays 3 rows)
+    big = [b for b in packed if b.da >= 4608]
+    assert len(big) == 1 and sum(1 for r in big[0].rows if r >= 0) == 3
+    # and no small bucket was padded anywhere near the large dims
+    for b in packed:
+        if b is not big[0]:
+            assert b.da <= 1024
+
+
+def test_pack_buckets_hbm_term_blocks_bandwidth_bound_merge():
+    """With a pure-FLOP model (hbm_rate=inf) a merge can look free even
+    when it multiplies HBM traffic; the bandwidth term must veto it."""
+    from kfac_pytorch_tpu.capture import LayerSpec
+    from kfac_pytorch_tpu.parallel.partition import pack_buckets
+
+    def spec(d_in, d_out):
+        return LayerSpec(
+            path=(f"s{d_in}x{d_out}",), kind="DENSE", in_dim=d_in,
+            out_dim=d_out, has_bias=False,
+        )
+
+    # many rows of a small shape + a medium shape: merging pads 40 rows of
+    # 64x64 (traffic ~40*3*512^2 bytes) for one saved dispatch
+    specs = [spec(64, 64) for _ in range(40)] + [spec(512, 512)] * 2
+    buckets = make_buckets(specs, world_size=1, dim_align=8)
+    assert len(buckets) == 2
+    # generous dispatch saving but finite bandwidth: traffic veto expected
+    packed = pack_buckets(
+        buckets, specs, world_size=1,
+        flop_rate=1.0e18, dispatch_cost=2.0e-5, iters=5.0,
+        hbm_rate=8.0e11,
+    )
+    assert len(packed) == 2
+    # with infinite bandwidth the same merge goes through
+    packed_inf = pack_buckets(
+        buckets, specs, world_size=1,
+        flop_rate=1.0e18, dispatch_cost=2.0e-5, iters=5.0,
+        hbm_rate=1.0e30,
+    )
+    assert len(packed_inf) == 1

@@ -165,6 +165,87 @@ def bench_blocked(sizes, results, schedules=None):
             )
 
 
+def bench_tracking(sizes, results, drift_steps=20):
+    """Online eigenbasis tracking (ops/blocked_symeig.tracking_symeig_update):
+    per-refresh cost vs one XLA eigh, plus basis fidelity after
+    ``drift_steps`` EMA updates (new = 0.05*fresh + 0.95*old, the K-FAC
+    factor drift the tracker follows in production)."""
+    import jax
+    import jax.numpy as jnp
+    from kfac_pytorch_tpu.ops import linalg as L
+    from kfac_pytorch_tpu.ops.blocked_symeig import tracking_symeig_update
+
+    rng = np.random.RandomState(0)
+    for n in sizes:
+        a0 = jnp.asarray(_spd(rng, n))
+        # fresh per-step covariances: minibatch-style estimates of one
+        # underlying covariance (fluctuation ~25%, the bs~32 regime) — the
+        # EMA then drifts toward the common mean with stochastic wobble,
+        # which is what the tracker follows in production
+        base = _spd(rng, n)
+        fresh = jnp.asarray(
+            np.stack([0.75 * base + 0.25 * _spd(rng, n) for _ in range(4)])
+        )
+        w0, v0 = jax.jit(lambda x: L.symeig(x))(a0)
+
+        for prec_name, prec in (
+            ("default", None),
+            ("highest", jax.lax.Precision.HIGHEST),
+        ):
+            def refresh(carry, i, prec=prec):
+                a, v = carry
+                a = 0.05 * fresh[i % 4] + 0.95 * a
+                w, v = tracking_symeig_update(a, v, precision=prec)
+                return (a, v), w
+
+            @jax.jit
+            def drift(a, v, k=drift_steps):
+                (a, v), ws = jax.lax.scan(
+                    lambda c, i: refresh(c, i), (a, v), jnp.arange(k)
+                )
+                return a, v, ws
+
+            a_end, v_end, _ = map(np.asarray, drift(a0, v0))
+            # fidelity: diagonalization residual of the tracked basis
+            b = v_end.T @ a_end @ v_end
+            off = np.linalg.norm(b - np.diag(np.diag(b)))
+            rel = off / np.linalg.norm(a_end)
+            # timing: chained refreshes (amortized per-refresh cost)
+            def chained(k):
+                @jax.jit
+                def f(a, v):
+                    def body(c, _):
+                        a, v = c
+                        w, v = tracking_symeig_update(a, v, precision=prec)
+                        return (a, v), w[0]
+                    (_, v), ws = jax.lax.scan(body, (a, v), None, length=k)
+                    return ws[-1] + jnp.sum(v) * 1e-30
+                return f
+
+            import time as _t
+            f1, f8 = chained(1), chained(8)
+            float(f1(a0, v0)); float(f8(a0, v0))  # compile
+            def tm(f):
+                t0 = _t.perf_counter(); float(f(a0, v0))
+                return _t.perf_counter() - t0
+            t1 = min(tm(f1) for _ in range(2))
+            t8 = min(tm(f8) for _ in range(2))
+            tr = max((t8 - t1) / 7, 1e-9)
+            fx = jax.jit(lambda x: L.symeig(x))
+            tx = _timeit(fx, a0, iters=3)
+            results.append(
+                {"op": "tracking", "n": n, "precision": prec_name,
+                 "refresh_s": tr, "eigh_s": tx,
+                 "offdiag_rel_after_drift": float(rel)}
+            )
+            print(
+                f"tracking n={n:5d} prec={prec_name:7s} refresh "
+                f"{tr*1e3:8.2f} ms | eigh {tx*1e3:8.2f} ms | speedup "
+                f"{tx/tr:6.1f}x | offdiag(after {drift_steps} EMA steps) "
+                f"{rel:.2e}"
+            )
+
+
 def bench_cholesky(sizes, results):
     import jax
     import jax.numpy as jnp
@@ -253,8 +334,8 @@ def bench_patches(results, batch=32):
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--op", default="all",
-                   choices=["symeig", "jacobi", "blocked", "cholesky",
-                            "gemm", "patches", "all"])
+                   choices=["symeig", "jacobi", "blocked", "tracking",
+                            "cholesky", "gemm", "patches", "all"])
     p.add_argument("--sizes", type=int, nargs="+",
                    default=[128, 256, 512, 1024, 2048, 4608])
     p.add_argument("--json", action="store_true")
@@ -274,6 +355,8 @@ def main(argv=None):
         bench_jacobi(args.sizes, results)
     if args.op in ("blocked", "all"):
         bench_blocked(args.sizes, results)
+    if args.op in ("tracking", "all"):
+        bench_tracking(args.sizes, results)
     if args.op in ("cholesky", "all"):
         bench_cholesky(args.sizes, results)
     if args.op in ("gemm", "all"):
