@@ -36,31 +36,64 @@ from kfac_pytorch_tpu.training.loop import (
 )
 
 
-class TeacherCNN(nn.Module):
-    classes: int = 10
+class Generator(nn.Module):
+    """Fixed random deconv generator: 128-dim latent -> 32x32x3 image.
+
+    Classification labels are a linear function of the LATENT, so the data
+    lives on a 128-dim manifold and the label information is genuinely
+    recoverable from the image — a student that learns the task
+    generalizes, unlike teacher-labelled full-rank Gaussian images (where
+    val accuracy stays at chance for any feasible sample budget)."""
 
     @nn.compact
-    def __call__(self, x):
-        x = nn.Conv(16, (5, 5), strides=(2, 2))(x)
+    def __call__(self, z):  # (B, 4, 4, 8)
+        x = nn.ConvTranspose(64, (4, 4), strides=(2, 2))(z)   # 8x8
         x = nn.tanh(x)
-        x = nn.Conv(32, (3, 3), strides=(2, 2))(x)
+        x = nn.ConvTranspose(32, (4, 4), strides=(2, 2))(x)   # 16x16
         x = nn.tanh(x)
-        x = x.reshape(x.shape[0], -1)
-        return nn.Dense(self.classes)(x)
+        x = nn.ConvTranspose(3, (4, 4), strides=(2, 2))(x)    # 32x32
+        return x
 
 
-def make_dataset(n, classes, seed):
+def make_dataset(n, classes, seed, margin_frac=0.5):
+    """Latent-linear classification task rendered to images.
+
+    z ~ N(0, I)^128; y = argmax(W z); x = G(z) for a fixed random deconv
+    G. Keeps the ``margin_frac`` most confidently labelled samples
+    (largest top-1 margin of W z) — near-boundary labels are effectively
+    noise and drown the optimizer comparison.
+    """
     rng = np.random.RandomState(seed)
-    x = rng.randn(n, 32, 32, 3).astype(np.float32)
-    teacher = TeacherCNN(classes)
-    tp = teacher.init(jax.random.PRNGKey(seed), jnp.asarray(x[:2]))
-    logits = teacher.apply(tp, jnp.asarray(x))
-    y = np.asarray(jnp.argmax(logits, -1)).astype(np.int32)
+    n_gen = int(n / max(margin_frac, 1e-3)) if margin_frac < 1.0 else n
+    gen = Generator()
+    gp = gen.init(
+        jax.random.PRNGKey(seed),
+        jnp.asarray(rng.randn(2, 4, 4, 8).astype(np.float32)),
+    )
+    apply = jax.jit(gen.apply)
+    w_lab = rng.randn(128, classes).astype(np.float32) / np.sqrt(128)
+    xs, ys, margins = [], [], []
+    for start in range(0, n_gen, 8192):
+        z = rng.randn(min(8192, n_gen - start), 4, 4, 8).astype(np.float32)
+        logits = z.reshape(len(z), -1) @ w_lab
+        top2 = np.sort(logits, axis=-1)[:, -2:]
+        xb = np.asarray(apply(gp, jnp.asarray(z)))
+        xs.append(xb)
+        ys.append(np.argmax(logits, -1).astype(np.int32))
+        margins.append(top2[:, 1] - top2[:, 0])
+    x = np.concatenate(xs)
+    y = np.concatenate(ys)
+    margin = np.concatenate(margins)
+    if margin_frac < 1.0:
+        keep = np.argsort(-margin)[:n]
+        rng.shuffle(keep)
+        x, y = x[keep], y[keep]
+    x = (x - x.mean()) / (x.std() + 1e-8)
     return x, y
 
 
 def run_arm(variant, x, y, xv, yv, steps, batch, lr, damping, seed,
-            eval_every=0):
+            eval_every=0, tinv=1, tcov=1):
     model = get_model("resnet20", num_classes=10)
     sample = jnp.asarray(x[:batch])
     variables = model.init(jax.random.PRNGKey(seed), sample, train=True)
@@ -76,10 +109,14 @@ def run_arm(variant, x, y, xv, yv, steps, batch, lr, damping, seed,
         # refresh (ops/blocked_symeig.tracking_symeig_update)
         if variant == "tracking_dp":
             kfac = ktpu.get_kfac_module("eigen_dp")(
-                specs, damping=damping, symeig_impl="tracking"
+                specs, damping=damping, symeig_impl="tracking",
+                fac_update_freq=tcov, kfac_update_freq=tinv,
             )
         else:
-            kfac = ktpu.get_kfac_module(variant)(specs, damping=damping)
+            kfac = ktpu.get_kfac_module(variant)(
+                specs, damping=damping,
+                fac_update_freq=tcov, kfac_update_freq=tinv,
+            )
     tx = optax.chain(
         optax.add_decayed_weights(5e-4),
         optax.trace(0.9),
@@ -90,30 +127,51 @@ def run_arm(variant, x, y, xv, yv, steps, batch, lr, damping, seed,
         kfac_state=kfac.init_state() if kfac else None,
         model_state=model_state,
     )
-    step = jax.jit(
-        make_train_step(model, tx, kfac, perturb_template=perturbs,
-                        train_kwargs={"train": True})
-    )
+    raw_step = make_train_step(model, tx, kfac, perturb_template=perturbs,
+                               train_kwargs={"train": True})
     eval_step = jax.jit(make_eval_step(model))
     scalars = KFACScalars.create(lr=lr, damping=damping)
     data_rng = np.random.RandomState(seed)
     n = len(x)
-    m = None
+    # scan-chained on-device training: the dataset is uploaded once and
+    # batches are gathered on device from precomputed indices — no per-step
+    # host dispatch or batch shipping (essential over the remote-TPU
+    # tunnel; also much faster on CPU)
+    x_dev, y_dev = jnp.asarray(x), jnp.asarray(y)
+    xv_dev, yv_dev = jnp.asarray(xv), jnp.asarray(yv)
+
+    @jax.jit
+    def run_chunk(state, idxs):
+        def body(st, ix):
+            st, m = raw_step(st, (x_dev[ix], y_dev[ix]), scalars)
+            return st, (m["loss"], m["accuracy"])
+
+        return jax.lax.scan(body, state, idxs)
+
+    chunk = eval_every if eval_every else steps
     curve = []  # (step, val_loss, val_acc) trajectory
-    for s in range(steps):
-        idx = data_rng.randint(0, n, batch)
-        state, m = step(state, (jnp.asarray(x[idx]), jnp.asarray(y[idx])),
-                        scalars)
-        if eval_every and (s + 1) % eval_every == 0:
+    tr_loss = tr_acc = None
+    done = 0
+    while done < steps:
+        k = min(chunk, steps - done)
+        idxs = jnp.asarray(
+            data_rng.randint(0, n, (k, batch)).astype(np.int32)
+        )
+        state, (losses, accs) = run_chunk(state, idxs)
+        tr_loss, tr_acc = float(losses[-1]), float(accs[-1])
+        done += k
+        if eval_every and done < steps:
             em = eval_step(state.params, state.model_state,
-                           (jnp.asarray(xv), jnp.asarray(yv)))
-            curve.append((s + 1, round(float(em["loss"]), 4),
+                           (xv_dev, yv_dev))
+            curve.append((done, round(float(em["loss"]), 4),
                           round(float(em["accuracy"]), 4)))
-    em = eval_step(state.params, state.model_state,
-                   (jnp.asarray(xv), jnp.asarray(yv)))
+    em = eval_step(state.params, state.model_state, (xv_dev, yv_dev))
+    if eval_every:
+        curve.append((done, round(float(em["loss"]), 4),
+                      round(float(em["accuracy"]), 4)))
     out = {
-        "train_loss": float(m["loss"]),
-        "train_acc": float(m["accuracy"]),
+        "train_loss": tr_loss,
+        "train_acc": tr_acc,
         "val_loss": float(em["loss"]),
         "val_acc": float(em["accuracy"]),
     }
@@ -133,13 +191,23 @@ def main(argv=None):
                    default=["sgd", "eigen_dp", "inverse_dp"])
     p.add_argument("--eval-every", type=int, default=0,
                    help="record a val-accuracy curve every N steps")
+    p.add_argument("--tinv", type=int, default=1,
+                   help="kfac_update_freq for the K-FAC arms")
+    p.add_argument("--tcov", type=int, default=1,
+                   help="fac_update_freq for the K-FAC arms")
+    p.add_argument("--margin-frac", type=float, default=0.5,
+                   help="keep this fraction of generated samples, by "
+                        "teacher-label confidence (1.0 = no filtering)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
     from kfac_pytorch_tpu.utils.platform import ensure_platform_from_env
     ensure_platform_from_env()
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    x, y = make_dataset(args.n_train + 512, 10, args.seed)
-    xv, yv = x[-512:], y[-512:]
+    x, y = make_dataset(args.n_train + 2048, 10, args.seed,
+                        margin_frac=args.margin_frac)
+    xv, yv = x[-2048:], y[-2048:]
     x, y = x[: args.n_train], y[: args.n_train]
     print(f"# teacher-task label balance: "
           f"{np.bincount(y, minlength=10).tolist()}")
@@ -148,6 +216,7 @@ def main(argv=None):
         results[v] = run_arm(
             v, x, y, xv, yv, args.steps, args.batch, args.lr, args.damping,
             args.seed, eval_every=args.eval_every,
+            tinv=args.tinv, tcov=args.tcov,
         )
         print(v, json.dumps(results[v]))
     if "sgd" in results and "eigen_dp" in results:
