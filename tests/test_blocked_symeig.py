@@ -215,3 +215,26 @@ def test_tracking_in_block_kfac_matches_exact_eigen():
     _, lo_t = run("tracking", 16)
     assert lo_t[-1] < lo_x[0]  # trains
     assert abs(lo_t[-1] - lo_x[-1]) < 0.15
+
+
+def test_tracking_precision_config():
+    """tracking_precision maps 'default' -> None (bf16 MXU passes) and
+    'highest' -> Precision.HIGHEST; both run through the update."""
+    from kfac_pytorch_tpu.ops.blocked_symeig import tracking_symeig_update
+    from kfac_pytorch_tpu.preconditioner import KFACConfig
+
+    assert KFACConfig(tracking_precision="default")._tracking_precision is None
+    assert (
+        KFACConfig(tracking_precision="highest")._tracking_precision
+        == jax.lax.Precision.HIGHEST
+    )
+    rng = np.random.RandomState(0)
+    m = rng.randn(12, 12).astype(np.float32)
+    a = jnp.asarray(m @ m.T / 12 + np.eye(12, dtype=np.float32))
+    w0, v0 = jnp.linalg.eigh(a)
+    for prec in (None, jax.lax.Precision.HIGHEST):
+        w, v = tracking_symeig_update(
+            0.05 * a + 0.95 * a, v0, precision=prec
+        )
+        recon = v @ jnp.diag(w) @ v.T
+        assert float(jnp.linalg.norm(recon - a) / jnp.linalg.norm(a)) < 1e-3
