@@ -128,9 +128,14 @@ def patch_cov(
     oh = (hp - kh) // sh + 1
     ow = (wp - kw) // sw + 1
     d = kh * kw * c
-    c_chunk = c if c <= 128 else 128
-    while d % c_chunk:
-        c_chunk //= 2
+    # Mosaic requires the output block's last dim to be a multiple of 128
+    # (the lane width) or the full array dim: prefer 128-wide column chunks
+    # when they divide D, else fall back to the whole row (D x D output in
+    # one block — fine for the small-D layers where this happens).
+    if d % 128 == 0:
+        c_chunk = 128
+    else:
+        c_chunk = d
     n_cols = d // c_chunk
     bc = _pick_b_chunk(b, oh, ow, d, jnp.dtype(compute_dtype).itemsize)
     n_b = b // bc
