@@ -140,10 +140,14 @@ def run_arm(variant, x, y, xv, yv, steps, batch, lr, damping, seed,
     x_dev, y_dev = jnp.asarray(x), jnp.asarray(y)
     xv_dev, yv_dev = jnp.asarray(xv), jnp.asarray(yv)
 
+    # the dataset must be an ARGUMENT, not a closure capture: captured
+    # arrays are baked into the program as constants, and a 600 MB
+    # constant blows up compilation (the remote-compile service rejects
+    # the oversized program outright)
     @jax.jit
-    def run_chunk(state, idxs):
+    def run_chunk(state, idxs, xd, yd):
         def body(st, ix):
-            st, m = raw_step(st, (x_dev[ix], y_dev[ix]), scalars)
+            st, m = raw_step(st, (xd[ix], yd[ix]), scalars)
             return st, (m["loss"], m["accuracy"])
 
         return jax.lax.scan(body, state, idxs)
@@ -157,7 +161,7 @@ def run_arm(variant, x, y, xv, yv, steps, batch, lr, damping, seed,
         idxs = jnp.asarray(
             data_rng.randint(0, n, (k, batch)).astype(np.int32)
         )
-        state, (losses, accs) = run_chunk(state, idxs)
+        state, (losses, accs) = run_chunk(state, idxs, x_dev, y_dev)
         tr_loss, tr_acc = float(losses[-1]), float(accs[-1])
         done += k
         if eval_every and done < steps:
