@@ -204,11 +204,20 @@ def main():
             (sgd_raw, sgd_st), (kfac_raw, kfac_st), data, scalars = _build(
                 model_name, batch, image, classes
             )
-            # amortized window: with TInv > 1, span exactly one refresh
-            # period so (T(TInv+1) - T(1)) / TInv includes 1/TInv of the
-            # decomposition cost
+            # amortized window: span one full refresh period so
+            # (T(k_hi) - T(1)) / (k_hi - 1) includes the amortized share of
+            # EVERY periodic cost — the TInv/TCov refreshes AND the pcg
+            # preconditioner refresh (pcg_precond_freq; fires at steps 0 and
+            # N — a window of 1..8 would exclude it entirely and understate
+            # the steady-state step cost)
             tinv = _env_i("KFB_TINV", 1)
-            k_hi = max(8, tinv + 1)
+            tcov = _env_i("KFB_TCOV", 1)
+            prec = (
+                _env_i("KFB_PREC_FREQ", 10)
+                if os.environ.get("KFB_INV", "pcg") == "pcg"
+                else 1
+            )
+            k_hi = max(8, tinv + 1, tcov + 1, prec + 1)
             t_sgd = _time_chained(sgd_raw, sgd_st, data, scalars, k_hi=k_hi)
             t_kfac = _time_chained(kfac_raw, kfac_st, data, scalars,
                                    k_hi=k_hi)
