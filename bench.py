@@ -108,6 +108,11 @@ def _build(model_name, batch, image, num_classes):
             # relative (measured at damping 0.002; 6 iters: 5e-5)
             pcg_iters=_env_i("KFB_ITERS", 5),
             pcg_precond_freq=_env_i("KFB_PREC_FREQ", 10),
+            # 'auto' = fused 3-matmul CG (exact eigen update of the
+            # prec_freq-stale factors = reference TInv=prec_freq);
+            # 'never' = 4-matmul operator form (exact TInv=1 update,
+            # staleness only affects CG rate)
+            pcg_fused=os.environ.get("KFB_FUSED", "auto"),
             kfac_update_freq=_env_i("KFB_TINV", 1),
             fac_update_freq=_env_i("KFB_TCOV", 1),
             static_schedule=True,

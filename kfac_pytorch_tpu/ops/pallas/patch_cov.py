@@ -60,7 +60,13 @@ def _kernel(a_ref, out_ref, xcat_ref, *, kh, kw, sh, sw, oh, ow, c,
             )
 
     col = pl.program_id(0)
-    rhs = xcat_ref[:, pl.dslice(col * c_chunk, c_chunk)]
+    if c_chunk == xcat_ref.shape[1]:
+        # single-chunk layout (D not 128-divisible): a dynamic slice of
+        # width D cannot be proven lane-aligned by Mosaic even at offset
+        # 0 — read the whole scratch instead
+        rhs = xcat_ref[...]
+    else:
+        rhs = xcat_ref[:, pl.dslice(col * c_chunk, c_chunk)]
     acc = jax.lax.dot_general(
         xcat_ref[...],
         rhs,

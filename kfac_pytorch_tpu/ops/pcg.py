@@ -81,6 +81,7 @@ def pcg_kron_solve(
     precision=None,
     s_a: jax.Array = None,
     s_g: jax.Array = None,
+    fused: str = "auto",
 ) -> jax.Array:
     """Solve (G (x) A + damping I) v = grad2d by batched PCG.
 
@@ -88,22 +89,33 @@ def pcg_kron_solve(
     la/lg: the cached damped factor INVERSES from damped_cholesky_factors,
     s_a/s_g: the per-layer damping shifts they were built with.
 
-    When the shifts are available and the inverses are stored full-precision
-    the iteration needs THREE MXU matmuls instead of the naive four
-    (operator two + preconditioner two): with Lg = (G + s_g I)^-1 the
-    product collapses algebraically — G Lg = I - s_g Lg, La A = I - s_a La
-    — so
+    Two iteration forms with DIFFERENT STALENESS SEMANTICS:
 
-      op(prec(r)) = (I - s_g Lg) r (I - s_a La) + damping * prec(r)
+    * fused (3 MXU matmuls/iter): with Lg = (G' + s_g I)^-1 for the
+      factors G'/A' the inverses were built from, the operator collapses
+      algebraically — G' Lg = I - s_g Lg, La A' = I - s_a La — so
 
-    needs only u = Lg r, w = r La, z = u La (z IS prec(r)), and op(p) for
-    the next iteration follows from the CG recurrence p = z + beta p =>
-    op(p) = op(z) + beta op(p_prev) with no extra matmuls. The fused form
-    applies the operator THROUGH the stored inverse, so it requires la/lg
-    exact to working precision (f32); with bf16-stored preconditioners
-    (pcg_precond_dtype) the explicit operator path is used — a sloppy
-    preconditioner only slows CG, but a sloppy operator would change the
-    answer.
+        op(prec(r)) = (I - s_g Lg) r (I - s_a La) + damping * prec(r)
+
+      needs only u = Lg r, w = r La, z = u La (z IS prec(r)); op(p)
+      follows from the CG recurrence p = z + beta p => op(p) = op(z) +
+      beta op(p_prev) with no extra matmuls. NOTE the collapsed operator
+      is G'/A' — the factors AT THE LAST PRECONDITIONER REFRESH. Between
+      refreshes this solves the stale-factor system EXACTLY: the update
+      equals the reference's eigen variant with
+      --kfac-update-freq = pcg_precond_freq (eigen.py:137-144 reads its
+      own refresh-stale eigendecompositions the same way). The current
+      a/g arguments are unused in this form.
+
+    * operator (4 matmuls/iter): applies the CURRENT a/g as the operator;
+      la/lg act only as the preconditioner, so staleness (or bf16
+      storage) only slows CG convergence and never changes the solution —
+      the exact TInv=1 update given enough iterations.
+
+    fused='auto' picks the 3-matmul form when the shifts are available
+    and the inverses are stored f32 (a bf16 collapsed operator would
+    perturb the solution, not just the rate); 'never' forces the
+    operator form.
     """
     mm = lambda x, y: jnp.matmul(x, y, precision=precision)
 
@@ -121,7 +133,9 @@ def pcg_kron_solve(
         # used for diagnostics and as the cheapest approximation
         return prec(grad2d)
 
-    fused = (
+    if fused not in ("auto", "never"):
+        raise ValueError(f"pcg_fused must be 'auto' or 'never', got {fused}")
+    fused = fused == "auto" and (
         s_a is not None
         and s_g is not None
         and la.dtype == jnp.float32

@@ -839,6 +839,7 @@ class BlockKFAC:
                         damping, iters=cfg.pcg_iters,
                         precision=cfg.precision,
                         s_a=e["sA"], s_g=e["sG"],
+                        fused=cfg.pcg_fused,
                     )
                 else:
                     v_my = pops.precond_inverse(

@@ -257,6 +257,17 @@ class KFACConfig:
     # a stale preconditioner just costs a little convergence rate.
     pcg_iters: int = 8
     pcg_precond_freq: int = 10
+    # CG iteration form. 'fused' (3 MXU matmuls/iter) applies the operator
+    # ALGEBRAICALLY THROUGH the cached split inverses, so between
+    # preconditioner refreshes it solves the system of the factors the
+    # inverses were built from — i.e. the exact eigen-variant update of
+    # prec_freq-stale factors, the reference's --kfac-update-freq=
+    # pcg_precond_freq semantics (TInv=prec_freq). 'operator' (4 matmuls/
+    # iter) applies the CURRENT factors as the operator — the exact TInv=1
+    # update, where preconditioner staleness only slows CG convergence,
+    # never changes the solution. 'auto' = fused when the inverses are
+    # stored f32 and shifts are available, else operator.
+    pcg_fused: str = "auto"
     # storage dtype of the cached preconditioner inverses. float32 (None,
     # the default) enables the fused 3-matmul CG iteration (pcg_kron_solve
     # applies the operator algebraically through the exact inverse);
@@ -602,6 +613,7 @@ class KFAC:
                         entry["cholG"], damping, iters=cfg.pcg_iters,
                         precision=cfg.precision,
                         s_a=entry["sA"], s_g=entry["sG"],
+                        fused=cfg.pcg_fused,
                     )
                 else:
                     v = pops.precond_inverse(

@@ -192,3 +192,87 @@ def test_pcg_iters_zero_equals_split_preconditioner():
     v0 = np.asarray(P.pcg_kron_solve(D, A, G, la, lg, 0.05, iters=0))
     want = np.asarray(lg) @ np.asarray(D) @ np.asarray(la)
     np.testing.assert_allclose(v0, want, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_vs_operator_staleness_semantics():
+    """The two CG forms differ exactly as documented under a stale
+    preconditioner: fused solves the STALE-factor system exactly
+    (reference TInv=prec_freq semantics); the operator form solves the
+    CURRENT-factor system (TInv=1), with staleness only affecting rate."""
+    rng = np.random.RandomState(3)
+    na, ng, lam = 96, 64, 0.002
+    A_old, G_old = jnp.asarray(_spd(rng, na)), jnp.asarray(_spd(rng, ng))
+    # drift the factors substantially away from the preconditioner
+    A = 0.6 * A_old + 0.4 * jnp.asarray(_spd(rng, na))
+    G = 0.6 * G_old + 0.4 * jnp.asarray(_spd(rng, ng))
+    D = jnp.asarray(rng.randn(ng, na).astype(np.float32))
+
+    la, lg, sa, sg = P.damped_cholesky_factors(A_old, G_old, lam)
+
+    def eigen_solve(Ax, Gx):
+        dA, QA = L.symeig(Ax)
+        dG, QG = L.symeig(Gx)
+        return np.asarray(PR.precond_eigen(D, QA, dA, QG, dG, lam))
+
+    want_stale = eigen_solve(A_old, G_old)
+    want_cur = eigen_solve(A, G)
+
+    fused = np.asarray(P.pcg_kron_solve(
+        D, A, G, la, lg, lam, iters=8, s_a=sa, s_g=sg, fused="auto"))
+    op = np.asarray(P.pcg_kron_solve(
+        D, A, G, la, lg, lam, iters=50, s_a=sa, s_g=sg, fused="never"))
+
+    rel = lambda x, y: np.linalg.norm(x - y) / np.linalg.norm(y)
+    assert rel(fused, want_stale) < 1e-3
+    assert rel(op, want_cur) < 1e-3  # slow under a badly stale M, but converges
+    # and the two targets genuinely differ here (the drift is large)
+    assert rel(want_stale, want_cur) > 0.05
+
+
+def test_operator_form_per_step_fidelity_at_realistic_drift():
+    """Per-step update fidelity under REALISTIC staleness: factors evolve
+    as an EMA of minibatch-style covariance estimates around a fixed mean
+    (the post-warmup regime); the preconditioner is 10 EMA-steps stale.
+    The operator (4-matmul) form at 5 iterations must match the
+    current-factor eigen update to <1e-3; the fused form must match the
+    STALE-factor eigen update (its documented semantics) even more
+    tightly.
+
+    (Long-horizon parameter trajectories are NOT a usable metric here:
+    training is chaotic, and even a fresh-preconditioner 12-iteration CG
+    diverges percent-level in parameters after 30 steps while its
+    per-step updates agree to ~1e-5.)"""
+    rng = np.random.RandomState(5)
+    na, ng, lam = 96, 64, 0.002
+    base_a, base_g = _spd(rng, na), _spd(rng, ng)
+    A = jnp.asarray(base_a)
+    G = jnp.asarray(base_g)
+    # warm to the fixed point, then 10 steps of stochastic wobble
+    for _ in range(60):
+        A = 0.95 * A + 0.05 * jnp.asarray(0.75 * base_a + 0.25 * _spd(rng, na))
+        G = 0.95 * G + 0.05 * jnp.asarray(0.75 * base_g + 0.25 * _spd(rng, ng))
+    A_old, G_old = A, G
+    for _ in range(10):
+        A = 0.95 * A + 0.05 * jnp.asarray(0.75 * base_a + 0.25 * _spd(rng, na))
+        G = 0.95 * G + 0.05 * jnp.asarray(0.75 * base_g + 0.25 * _spd(rng, ng))
+    D = jnp.asarray(rng.randn(ng, na).astype(np.float32))
+    la, lg, sa, sg = P.damped_cholesky_factors(A_old, G_old, lam)
+
+    def eigen_solve(Ax, Gx):
+        dA, QA = L.symeig(Ax)
+        dG, QG = L.symeig(Gx)
+        return np.asarray(PR.precond_eigen(D, QA, dA, QG, dG, lam))
+
+    want_cur = eigen_solve(A, G)
+    want_stale = eigen_solve(A_old, G_old)
+
+    op5 = np.asarray(P.pcg_kron_solve(
+        D, A, G, la, lg, lam, iters=5, s_a=sa, s_g=sg, fused="never"))
+    fu5 = np.asarray(P.pcg_kron_solve(
+        D, A, G, la, lg, lam, iters=5, s_a=sa, s_g=sg, fused="auto"))
+
+    rel = lambda x, y: np.linalg.norm(x - y) / np.linalg.norm(y)
+    assert rel(op5, want_cur) < 1e-3, rel(op5, want_cur)
+    assert rel(fu5, want_stale) < 1e-3, rel(fu5, want_stale)
+    # the stale and current targets differ measurably but modestly
+    assert 1e-4 < rel(want_stale, want_cur) < 0.2, rel(want_stale, want_cur)
