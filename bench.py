@@ -113,6 +113,7 @@ def _build(model_name, batch, image, num_classes):
             # 'never' = 4-matmul operator form (exact TInv=1 update,
             # staleness only affects CG rate)
             pcg_fused=os.environ.get("KFB_FUSED", "auto"),
+            pcg_warm_start=bool(_env_i("KFB_WARM", 0)),
             kfac_update_freq=_env_i("KFB_TINV", 1),
             fac_update_freq=_env_i("KFB_TCOV", 1),
             static_schedule=True,

@@ -85,6 +85,12 @@ def parse_args(argv=None):
                    choices=["xla", "pallas"],
                    help="conv A-factor path (pallas = fused streaming "
                         "patch covariance, TPU only)")
+    p.add_argument("--pcg-iters", type=int, default=5,
+                   help="CG iterations for --kfac-name pcg_dp")
+    p.add_argument("--pcg-warm-start", action="store_true",
+                   help="warm-start CG from the previous step's solution "
+                        "(pcg_dp mesh path; fewer iterations at equal "
+                        "accuracy)")
     p.add_argument("--n-devices", type=int, default=None,
                    help="run the sharded mesh path over N devices "
                         "(batch-size becomes per-device)")
@@ -178,6 +184,8 @@ def main(argv=None):
                     factor_decay=args.stat_decay,
                     symeig_impl=args.symeig_impl,
                     factor_impl=args.factor_impl,
+                    pcg_iters=args.pcg_iters,
+                    pcg_warm_start=args.pcg_warm_start,
                     **KFACConfig.exclude_parts_flags(args.exclude_parts),
                 ),
                 world_size=n_dev,
@@ -190,6 +198,7 @@ def main(argv=None):
                 factor_decay=args.stat_decay,
                 symeig_impl=args.symeig_impl,
                 factor_impl=args.factor_impl,
+                pcg_iters=args.pcg_iters,
                 **KFACConfig.exclude_parts_flags(args.exclude_parts),
             )
 

@@ -94,6 +94,9 @@ def parse_args(argv=None):
     p.add_argument("--iters", type=int, default=None)
     p.add_argument("--speed", action="store_true")
     p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--async-checkpoint", action="store_true",
+                   help="overlap checkpoint IO with training "
+                   "(orbax async manager + atomic-commit auto-resume)")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax profiler trace (xprof) of a few steps")
     p.add_argument("--seed", type=int, default=42)
@@ -185,7 +188,14 @@ def main(argv=None):
 
     # resume
     start_epoch = 0
-    if args.checkpoint_dir:
+    ckpt_mgr = None
+    if args.checkpoint_dir and args.async_checkpoint:
+        ckpt_mgr = ckpt.AsyncCheckpointer(args.checkpoint_dir)
+        state, start_epoch = ckpt_mgr.restore_latest(state)
+        if start_epoch:
+            log.info("resumed from epoch %d", start_epoch - 1)
+            state = jax.tree_util.tree_map(jnp.asarray, state)
+    elif args.checkpoint_dir:
         state, resumed = ckpt.restore_checkpoint(args.checkpoint_dir, state)
         if resumed is not None:
             start_epoch = resumed + 1
@@ -285,11 +295,15 @@ def main(argv=None):
             epoch, train_loss.avg, train_acc.avg, float(em["loss"]),
             float(em["accuracy"]), float(lr_fn(global_step)), hypers.damping,
         )
-        if args.checkpoint_dir:
+        if ckpt_mgr is not None:
+            ckpt_mgr.save(epoch, state)  # async: IO overlaps next epoch
+        elif args.checkpoint_dir:
             os.makedirs(args.checkpoint_dir, exist_ok=True)
             ckpt.save_checkpoint(args.checkpoint_dir, state, epoch)
         if args.iters and global_step >= args.iters:
             break
+    if ckpt_mgr is not None:
+        ckpt_mgr.close()
     if args.speed:
         log.info("timer summary: %s", timers.summary())
     return state

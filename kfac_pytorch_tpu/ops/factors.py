@@ -220,7 +220,7 @@ def compute_a_conv(
     if impl == "pallas" and jax.default_backend() == "tpu":
         from kfac_pytorch_tpu.ops.pallas import patch_cov as pcov
 
-        if pcov.supported(a.shape, kernel_size):
+        if pcov.supported(a.shape, kernel_size, strides):
             pp = pcov.patch_cov(
                 a.astype(jnp.float32), kernel_size, strides, padding
             )

@@ -97,12 +97,17 @@ def _pick_b_chunk(b: int, oh: int, ow: int, d: int,
     return best
 
 
-def supported(a_shape, kernel_size, c_chunk_cap=512) -> bool:
-    """Geometry gate: lane-friendly channel counts and a multi-tap kernel
-    (1x1 convs and tiny-C stems keep the XLA path)."""
+def supported(a_shape, kernel_size, strides=(1, 1), c_chunk_cap=512) -> bool:
+    """Geometry gate: lane-friendly channel counts, a multi-tap kernel
+    (1x1 convs and tiny-C stems keep the XLA path), and unit strides —
+    strided window reads lower to tpu.strided_load, which Mosaic only
+    implements for 128-wide base memrefs (measured on v5e: stride-2 3x3
+    convs fail to compile; RN50 has 3 such layers, left on the XLA path)."""
     b, h, w, c = a_shape
     kh, kw = kernel_size
     if kh * kw == 1 or c < 64 or c % 8 != 0:
+        return False
+    if tuple(strides) != (1, 1):
         return False
     return True
 

@@ -82,6 +82,9 @@ def pcg_kron_solve(
     s_a: jax.Array = None,
     s_g: jax.Array = None,
     fused: str = "auto",
+    x0: jax.Array = None,
+    gxa0: jax.Array = None,
+    return_gxa: bool = False,
 ) -> jax.Array:
     """Solve (G (x) A + damping I) v = grad2d by batched PCG.
 
@@ -116,6 +119,34 @@ def pcg_kron_solve(
     and the inverses are stored f32 (a bf16 collapsed operator would
     perturb the solution, not just the rate); 'never' forces the
     operator form.
+
+    x0: optional warm-start iterate (same shape as grad2d). Gradients are
+    strongly correlated step to step (momentum SGD trajectories), so the
+    previous step's solution is a far better initial guess than zero —
+    the residual after warm start is |grad_t - Op x_{t-1}| ~ |grad_t -
+    grad_{t-1}|, and CG needs only to correct the delta. The fixed point
+    is unchanged: as iters -> inf the solution is the same.
+
+    Two warm-start modes:
+
+    * x0 alone: forces the operator (4-matmul) form — the initial
+      residual b - Op(x0) is computed with the CURRENT factors (2 extra
+      matmuls), consistent with that form's TInv=1 semantics. The fused
+      form's collapsed algebra cannot apply the operator to an arbitrary
+      vector, so it cannot form this residual.
+
+    * x0 + gxa0 (fused warm start): gxa0 must be G' x0 A' — the
+      dampingless stale-operator image of x0, as returned by a previous
+      call with return_gxa=True (the CG recurrence accumulates it for
+      free: G' x A' = sum_i alpha_i (op_p_i - damping p_i)). The initial
+      residual b - (gxa0 + damping x0) then costs ZERO matmuls and is
+      exactly consistent with the fused form's stale-system semantics.
+      Callers must recompute gxa0 = G x_prev A exactly whenever the
+      preconditioner refreshes (the stale operator changes there), which
+      also bounds accumulation round-off to one refresh period.
+
+    return_gxa: also return the accumulated G' x A' of the returned
+    solution (fused form only), for carrying into the next call.
     """
     mm = lambda x, y: jnp.matmul(x, y, precision=precision)
 
@@ -131,16 +162,25 @@ def pcg_kron_solve(
         # degenerate mode: single preconditioner application (the split
         # damped inverse — equivalent to the 'inverse' variant update);
         # used for diagnostics and as the cheapest approximation
+        if return_gxa:
+            raise ValueError("return_gxa requires iters >= 1")
         return prec(grad2d)
 
     if fused not in ("auto", "never"):
         raise ValueError(f"pcg_fused must be 'auto' or 'never', got {fused}")
-    fused = fused == "auto" and (
-        s_a is not None
+    fused = (
+        fused == "auto"
+        and (x0 is None or gxa0 is not None)
+        and s_a is not None
         and s_g is not None
         and la.dtype == jnp.float32
         and lg.dtype == jnp.float32
     )
+    if return_gxa and not fused:
+        raise ValueError(
+            "return_gxa requires the fused iteration form (f32 inverses "
+            "with shifts; gxa0 alongside x0 when warm-starting)"
+        )
 
     if fused:
         sa = s_a[..., None, None]
@@ -161,8 +201,21 @@ def pcg_kron_solve(
             opz = mm(mm(g, z), a) + damping * z
             return z, opz
 
-    x = jnp.zeros_like(grad2d)
-    r = grad2d
+    gxa = None
+    if x0 is None:
+        x = jnp.zeros_like(grad2d)
+        r = grad2d
+        if return_gxa:
+            gxa = jnp.zeros_like(grad2d)
+    elif fused:
+        # zero-matmul warm residual against the stale system
+        x = x0
+        if return_gxa:
+            gxa = gxa0
+        r = grad2d - (gxa0 + damping * x0)
+    else:
+        x = x0
+        r = grad2d - (mm(mm(g, x0), a) + damping * x0)
     z, op_p = prec_and_op(r)
     p = z
     rz = dot(r, z)
@@ -173,6 +226,10 @@ def pcg_kron_solve(
         denom = dot(p, op_p)
         alpha = rz / jnp.where(jnp.abs(denom) < 1e-30, 1.0, denom)
         x = x + alpha * p
+        if gxa is not None:
+            # G' p A' = op(p) - damping p: the recurrence gives the
+            # operator image of the solution for free (vector FMAs only)
+            gxa = gxa + alpha * (op_p - damping * p)
         r = r - alpha * op_p
         z, op_z = prec_and_op(r)
         rz_new = dot(r, z)
@@ -180,4 +237,6 @@ def pcg_kron_solve(
         p = z + beta * p
         op_p = op_z + beta * op_p  # CG recurrence: no operator matmuls
         rz = rz_new
+    if return_gxa:
+        return x, gxa
     return x

@@ -244,6 +244,12 @@ class BlockKFAC:
                     sA=jnp.zeros((L,)),
                     sG=jnp.zeros((L,)),
                 )
+                if self.config.pcg_warm_start:
+                    entry["xPrev"] = jnp.zeros((L, dg, da))
+                    if self.config._pcg_fused_active:
+                        # carried stale-operator image G' xPrev A'
+                        # (dampingless), for the zero-matmul warm residual
+                        entry["gxaPrev"] = jnp.zeros((L, dg, da))
             else:
                 entry.update(
                     invA=jnp.zeros((L, da, da)), invG=jnp.zeros((L, dg, dg))
@@ -753,28 +759,45 @@ class BlockKFAC:
                 ):
                     e["dA"], e["QA"], e["dG"], e["QG"] = da_, qa, dg_, qg
             elif cfg.inv_type == PCG:
+                warm_fused = cfg.pcg_warm_start and cfg._pcg_fused_active
 
                 def prec_all():
-                    return [
-                        pcg_ops.damped_cholesky_factors(
+                    outs = []
+                    for b_idx, e in enumerate(entries):
+                        vals = pcg_ops.damped_cholesky_factors(
                             e["A"], e["G"], damping,
                             real_da=real_da[b_idx], real_dg=real_dg[b_idx],
                             dtype=cfg._pcg_dtype,
                         )
-                        for b_idx, e in enumerate(entries)
-                    ]
+                        if warm_fused:
+                            # the stale operator changes at a refresh:
+                            # re-anchor the carried G' xPrev A' exactly
+                            # against the refreshed factors (2 matmuls per
+                            # refresh, amortized over pcg_precond_freq)
+                            gxa = jnp.matmul(
+                                e["G"],
+                                jnp.matmul(e["xPrev"], e["A"],
+                                           precision=cfg.precision),
+                                precision=cfg.precision,
+                            )
+                            vals = vals + (gxa,)
+                        outs.append(vals)
+                    return outs
 
                 def keep_prec():
                     return [
                         (st["cholA"], st["cholG"], st["sA"], st["sG"])
+                        + ((st["gxaPrev"],) if warm_fused else ())
                         for st in state["buckets"]
                     ]
 
-                for e, (ca, cg_, sa_, sg_) in zip(
+                for e, vals in zip(
                     entries, _cond_or_call(do_prec, prec_all, keep_prec)
                 ):
-                    e["cholA"], e["cholG"] = ca, cg_
-                    e["sA"], e["sG"] = sa_, sg_
+                    e["cholA"], e["cholG"] = vals[0], vals[1]
+                    e["sA"], e["sG"] = vals[2], vals[3]
+                    if warm_fused:
+                        e["gxaPrev"] = vals[4]
             else:
 
                 def inv_all():
@@ -834,13 +857,26 @@ class BlockKFAC:
                         damping, precision=cfg.precision,
                     )
                 elif cfg.inv_type == PCG:
-                    v_my = pcg_ops.pcg_kron_solve(
+                    warm = cfg.pcg_warm_start
+                    warm_fused = warm and cfg._pcg_fused_active
+                    sol = pcg_ops.pcg_kron_solve(
                         g2d_my, e["A"], e["G"], e["cholA"], e["cholG"],
                         damping, iters=cfg.pcg_iters,
                         precision=cfg.precision,
                         s_a=e["sA"], s_g=e["sG"],
                         fused=cfg.pcg_fused,
+                        x0=e["xPrev"] if warm else None,
+                        gxa0=e["gxaPrev"] if warm_fused else None,
+                        return_gxa=warm_fused,
                     )
+                    if warm_fused:
+                        v_my, e["gxaPrev"] = sol
+                    else:
+                        v_my = sol
+                    if warm:
+                        # carried UNclipped (kl_clip nu is a trust-region
+                        # rescale of the applied update, not of the solve)
+                        e["xPrev"] = v_my
                 else:
                     v_my = pops.precond_inverse(
                         g2d_my, e["invA"], e["invG"],

@@ -275,6 +275,18 @@ class KFACConfig:
     # 4-matmul operator (a sloppy preconditioner only slows CG; a sloppy
     # operator would change the answer)
     pcg_precond_dtype: Any = None
+    # warm-start CG from the previous step's solution (BlockKFAC bucketed
+    # path): gradients correlate strongly across steps, so x_{t-1} leaves
+    # CG only the step-to-step delta to resolve — the same accuracy at
+    # fewer iterations. With the fused form (pcg_fused='auto', f32
+    # inverses) the warm residual costs ZERO matmuls: the CG recurrence
+    # accumulates G'xA' alongside the solution (carried as gxaPrev state,
+    # re-anchored exactly at every preconditioner refresh). With
+    # pcg_fused='never' the residual is recomputed against the CURRENT
+    # factors (2 matmuls, exact TInv=1 semantics). Either way the update
+    # becomes (weakly) history-dependent through the iteration count, like
+    # any truncated-CG scheme; the fixed point is unchanged.
+    pcg_warm_start: bool = False
 
     @property
     def _pcg_dtype(self):
@@ -283,6 +295,12 @@ class KFACConfig:
         if self.pcg_precond_dtype is None:
             return None
         return _jnp.dtype(self.pcg_precond_dtype)
+
+    @property
+    def _pcg_fused_active(self) -> bool:
+        """Whether pcg_kron_solve will take the fused 3-matmul form under
+        this config (mirrors its static predicate)."""
+        return self.pcg_fused == "auto" and self._pcg_dtype is None
 
     def symeig(self, x):
         import jax as _jax

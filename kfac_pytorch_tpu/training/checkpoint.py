@@ -59,6 +59,68 @@ def save_checkpoint(base: str, state, epoch: int, keep: int = 3) -> str:
     return path
 
 
+class AsyncCheckpointer:
+    """Async checkpoint manager with auto-resume (failure handling).
+
+    The reference has no failure/elastic story at all (VERDICT §5: its
+    rank-0 torch.save blocks the training loop and K-FAC state is lost on
+    restart). This wraps ``orbax.checkpoint.CheckpointManager`` with async
+    writes — the device-to-host copy happens synchronously but the
+    serialization/IO overlaps the next training epochs — plus retention
+    pruning and a one-call auto-resume:
+
+        mgr = AsyncCheckpointer(dir, keep=3)
+        state, start_epoch = mgr.restore_latest(state)   # no-op if empty
+        for epoch in range(start_epoch, epochs):
+            train(...)
+            mgr.save(epoch, state)       # returns immediately
+        mgr.close()                      # drains pending writes
+
+    A process killed mid-write never corrupts the resume point: orbax
+    commits atomically (tmp dir + rename), and restore_latest only sees
+    committed steps.
+    """
+
+    def __init__(self, base: str, keep: int = 3):
+        import orbax.checkpoint as ocp
+
+        self._mgr = ocp.CheckpointManager(
+            os.path.abspath(base),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep,
+                enable_async_checkpointing=True,
+                create=True,
+            ),
+        )
+
+    def save(self, step: int, state) -> None:
+        """Schedule an async save of ``state`` at ``step`` (non-blocking)."""
+        import orbax.checkpoint as ocp
+
+        self._mgr.save(step, args=ocp.args.StandardSave(jax.device_get(state)))
+
+    def restore_latest(self, template) -> Tuple[object, int]:
+        """(state, next_step): the newest committed checkpoint restored into
+        ``template``'s structure, or (template, 0) when none exists."""
+        import orbax.checkpoint as ocp
+
+        step = self._mgr.latest_step()
+        if step is None:
+            return template, 0
+        restored = self._mgr.restore(
+            step,
+            args=ocp.args.StandardRestore(jax.device_get(template)),
+        )
+        return restored, step + 1
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.wait_until_finished()
+        self._mgr.close()
+
+
 def restore_checkpoint(base: str, template, epoch: Optional[int] = None):
     """Restore (state, epoch) from the newest (or given) checkpoint.
 

@@ -86,3 +86,54 @@ def test_checkpoint_pruning(tmp_path):
         ckpt.save_checkpoint(base, state, epoch=e, keep=2)
     left = sorted(os.listdir(base))
     assert left == ["checkpoint-3", "checkpoint-4"]
+
+
+def test_async_checkpointer_roundtrip_and_resume(tmp_path):
+    """AsyncCheckpointer: async save commits atomically, restore_latest
+    resumes the full TrainState (incl. K-FAC factors), pruning keeps the
+    newest `keep`."""
+    model = Net()
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(8, 4).astype(np.float32))
+    y = jnp.asarray(rng.randint(0, 3, 8))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    specs, perturbs = ktpu.setup_kfac(model, {"params": params}, x)
+    kfac = ktpu.DP_KFAC(specs, damping=0.03)
+    tx = optax.sgd(0.1, momentum=0.9)
+    state = TrainState(
+        params=params, opt_state=tx.init(params),
+        kfac_state=kfac.init_state(), model_state={},
+    )
+    step = jax.jit(make_train_step(model, tx, kfac, perturb_template=perturbs))
+    scalars = KFACScalars.create(0.1, 0.03)
+
+    base = str(tmp_path / "async_ckpts")
+    mgr = ckpt.AsyncCheckpointer(base, keep=2)
+    # empty dir -> no-op resume
+    st0, start = mgr.restore_latest(state)
+    assert start == 0
+
+    for epoch in range(4):
+        state, _ = step(state, (x, y), scalars)
+        mgr.save(epoch, state)  # non-blocking
+    mgr.close()
+
+    # fresh manager (simulated process restart): auto-resume from newest
+    template = TrainState(
+        params=params, opt_state=tx.init(params),
+        kfac_state=kfac.init_state(), model_state={},
+    )
+    mgr2 = ckpt.AsyncCheckpointer(base, keep=2)
+    restored, start = mgr2.restore_latest(template)
+    assert start == 4  # resume AFTER epoch 3
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6
+        ),
+        restored,
+        jax.device_get(state),
+    )
+    # retention: only the newest 2 steps remain
+    steps = sorted(mgr2._mgr.all_steps())
+    assert steps == [2, 3]
+    mgr2.close()
