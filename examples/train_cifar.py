@@ -82,9 +82,10 @@ def parse_args(argv=None):
                    help="eigen-variant eigensolver (tracking = online "
                         "eigenbasis refresh, matmuls only)")
     p.add_argument("--factor-impl", default="xla",
-                   choices=["xla", "pallas"],
+                   choices=["xla", "pallas", "taps"],
                    help="conv A-factor path (pallas = fused streaming "
-                        "patch covariance, TPU only)")
+                        "patch covariance; taps = symmetric tap-pair "
+                        "GEMMs, no patch materialization; TPU only)")
     p.add_argument("--pcg-iters", type=int, default=5,
                    help="CG iterations for --kfac-name pcg_dp")
     p.add_argument("--pcg-warm-start", action="store_true",

@@ -217,6 +217,22 @@ def compute_a_conv(
     unsupported layers and non-TPU backends fall back to the XLA path.
     """
     batch_size = a.shape[0]
+    if impl == "taps" and jax.default_backend() == "tpu":
+        from kfac_pytorch_tpu.ops.pallas import tap_cov as tcov
+
+        if tcov.supported(a.shape, kernel_size, strides):
+            pp = tcov.tap_cov(a, kernel_size, padding)
+            col, n_rows = _patch_col_sums(a, kernel_size, strides, padding)
+            oh_ow = n_rows // batch_size
+            scale = 1.0 / (oh_ow * oh_ow * batch_size)
+            pp = pp * scale
+            if not has_bias:
+                return pp
+            col = col * scale
+            corner = jnp.asarray(n_rows * scale, jnp.float32)
+            top = jnp.concatenate([pp, col[:, None]], axis=1)
+            bot = jnp.concatenate([col, corner[None]])[None, :]
+            return jnp.concatenate([top, bot], axis=0)
     if impl == "pallas" and jax.default_backend() == "tpu":
         from kfac_pytorch_tpu.ops.pallas import patch_cov as pcov
 

@@ -86,3 +86,61 @@ def test_supported_gate():
     assert pcov.supported((2, 8, 8, 64), (3, 3))
     assert not pcov.supported((2, 8, 8, 64), (1, 1))  # 1x1: no patches
     assert not pcov.supported((2, 224, 224, 3), (7, 7))  # tiny C stem
+
+
+@pytest.mark.parametrize(
+    "b,h,w,c,k,p",
+    [
+        (2, 8, 8, 128, 3, 1),
+        (1, 10, 10, 128, 5, 2),
+        (2, 7, 7, 256, 3, 1),
+    ],
+)
+def test_tap_cov_matches_materialized(b, h, w, c, k, p):
+    """Tap-pair kernel == materialized X^T X (f32 compute, interpret)."""
+    from kfac_pytorch_tpu.ops.pallas import tap_cov as tcov
+
+    rng = np.random.RandomState(1)
+    a = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    pad = ((p, p), (p, p))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            tcov.tap_cov(a, (k, k), pad, compute_dtype=jnp.float32)
+        )
+    x = np.asarray(
+        fops.extract_patches(a, (k, k), (1, 1), pad)
+    ).reshape(-1, k * k * c)
+    want = x.T @ x
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+    # exact block symmetry by construction
+    np.testing.assert_allclose(got, got.T, rtol=0, atol=0)
+
+
+def test_tap_cov_supported_gate():
+    from kfac_pytorch_tpu.ops.pallas import tap_cov as tcov
+
+    assert tcov.supported((2, 8, 8, 128), (3, 3), (1, 1))
+    assert not tcov.supported((2, 8, 8, 128), (3, 3), (2, 2))  # stride
+    assert not tcov.supported((2, 8, 8, 64), (3, 3), (1, 1))   # lanes
+    assert not tcov.supported((2, 8, 8, 128), (1, 1), (1, 1))  # 1x1
+
+
+def test_compute_a_conv_taps_impl_matches_xla():
+    """compute_a_conv(impl='taps') == XLA path incl. scaling + bias row
+    (forced through the kernel in interpret mode via a fake tpu check)."""
+    from kfac_pytorch_tpu.ops.pallas import tap_cov as tcov
+
+    rng = np.random.RandomState(2)
+    a = jnp.asarray(rng.randn(2, 8, 8, 128).astype(np.float32))
+    want = np.asarray(
+        fops.compute_a_conv(a, (3, 3), (1, 1), ((1, 1), (1, 1)), True)
+    )
+    import unittest.mock as mock
+
+    with pltpu.force_tpu_interpret_mode():
+        with mock.patch.object(jax, "default_backend", return_value="tpu"):
+            got = fops.compute_a_conv(
+                a, (3, 3), (1, 1), ((1, 1), (1, 1)), True, impl="taps"
+            )
+    # bf16 GEMM inputs in the kernel vs f32 XLA: loose tolerance
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-2, atol=2e-3)

@@ -341,11 +341,44 @@ def bench_patches(results, batch=32):
     print(f"patches  TOTAL {total*1e3:.2f} ms")
 
 
+def bench_factor_a(results, batch=32, impls=("xla", "pallas", "taps")):
+    """Conv A-factor cost per implementation over the RN50 3x3 layers —
+    the factor-stage hot spots (1x1 layers have no patch structure and
+    always take the XLA path)."""
+    import jax
+    import jax.numpy as jnp
+    from kfac_pytorch_tpu.ops import factors as F
+
+    shapes = [(64, 56, 56), (128, 28, 28), (256, 14, 14), (512, 7, 7)]
+    rng = np.random.RandomState(0)
+    totals = {impl: 0.0 for impl in impls}
+    for cin, h, w in shapes:
+        x = jnp.asarray(rng.randn(batch, h, w, cin).astype(np.float32))
+        pad = F.resolve_conv_padding("SAME", (h, w), (3, 3), (1, 1))
+        row = {"op": "factor_a_conv", "shape": [cin, h, w, 3, 1]}
+        msg = f"factor_a c={cin:4d} {h:3d}x{w:<3d} k=3"
+        for impl in impls:
+            f = jax.jit(
+                lambda x, impl=impl, pad=pad: F.compute_a_conv(
+                    x, (3, 3), (1, 1), pad, True, impl=impl
+                )
+            )
+            t = _timeit(f, x)
+            row[f"{impl}_s"] = t
+            totals[impl] += t
+            msg += f" | {impl} {t*1e3:8.3f} ms"
+        results.append(row)
+        print(msg)
+    print("factor_a TOTAL "
+          + " | ".join(f"{i} {totals[i]*1e3:.2f} ms" for i in impls))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--op", default="all",
                    choices=["symeig", "jacobi", "blocked", "tracking",
-                            "cholesky", "gemm", "patches", "all"])
+                            "cholesky", "gemm", "patches", "factor_a",
+                            "all"])
     p.add_argument("--sizes", type=int, nargs="+",
                    default=[128, 256, 512, 1024, 2048, 4608])
     p.add_argument("--json", action="store_true")
@@ -373,6 +406,8 @@ def main(argv=None):
         bench_gemm(args.sizes, results)
     if args.op in ("patches", "all"):
         bench_patches(results)
+    if args.op == "factor_a":
+        bench_factor_a(results)
     if args.json:
         print(json.dumps(results))
     return results

@@ -101,6 +101,7 @@ def run_arm(variant, x, y, xv, yv, steps, batch, lr, damping, seed,
     model_state = {"batch_stats": variables["batch_stats"]}
 
     kfac, perturbs = None, None
+    bucketed_arm = variant in ("pcg_warm_dp", "pcg_cold_dp")
     if variant != "sgd":
         specs, perturbs = ktpu.setup_kfac(
             model, {"params": params, **model_state}, sample, train=True
@@ -112,23 +113,50 @@ def run_arm(variant, x, y, xv, yv, steps, batch, lr, damping, seed,
                 specs, damping=damping, symeig_impl="tracking",
                 fac_update_freq=tcov, kfac_update_freq=tinv,
             )
+        elif bucketed_arm:
+            # bucketed-trainer arms: the production BlockKFAC pipeline,
+            # warm-started low-iter CG vs cold CG at matched per-step cost
+            from kfac_pytorch_tpu.parallel.strategies import BlockKFAC
+            from kfac_pytorch_tpu.preconditioner import KFACConfig
+
+            warm = variant == "pcg_warm_dp"
+            kfac = BlockKFAC(
+                specs,
+                KFACConfig(
+                    inv_type="pcg", strategy="dp", damping=damping,
+                    pcg_iters=3 if warm else 5, pcg_warm_start=warm,
+                    fac_update_freq=tcov, kfac_update_freq=tinv,
+                ),
+            )
         else:
             kfac = ktpu.get_kfac_module(variant)(
                 specs, damping=damping,
                 fac_update_freq=tcov, kfac_update_freq=tinv,
             )
-    tx = optax.chain(
-        optax.add_decayed_weights(5e-4),
-        optax.trace(0.9),
-        optax.scale(-lr),
-    )
-    state = TrainState(
-        params=params, opt_state=tx.init(params),
-        kfac_state=kfac.init_state() if kfac else None,
-        model_state=model_state,
-    )
-    raw_step = make_train_step(model, tx, kfac, perturb_template=perturbs,
-                               train_kwargs={"train": True})
+    if bucketed_arm:
+        from kfac_pytorch_tpu.training.bucketed import (
+            init_bucketed_state,
+            make_bucketed_train_step,
+        )
+
+        state = init_bucketed_state(kfac, params, model_state=model_state)
+        raw_step = make_bucketed_train_step(
+            model, kfac, momentum=0.9, weight_decay=5e-4,
+            perturb_template=perturbs, train_kwargs={"train": True},
+        )
+    else:
+        tx = optax.chain(
+            optax.add_decayed_weights(5e-4),
+            optax.trace(0.9),
+            optax.scale(-lr),
+        )
+        state = TrainState(
+            params=params, opt_state=tx.init(params),
+            kfac_state=kfac.init_state() if kfac else None,
+            model_state=model_state,
+        )
+        raw_step = make_train_step(model, tx, kfac, perturb_template=perturbs,
+                                   train_kwargs={"train": True})
     eval_step = jax.jit(make_eval_step(model))
     scalars = KFACScalars.create(lr=lr, damping=damping)
     data_rng = np.random.RandomState(seed)
