@@ -106,18 +106,27 @@ def _build(model_name, batch, image, num_classes):
             damping=0.002,
             # 5 CG iterations reproduce the exact eigen update to ~9e-5
             # relative (measured at damping 0.002; 6 iters: 5e-5)
-            pcg_iters=_env_i("KFB_ITERS", 5),
+            # warm-started CG carries the previous step's solution; on a
+            # momentum-correlated gradient walk 3 warm iterations match
+            # cold 5-iteration accuracy (tests/test_pcg.py warm-start
+            # tests; convergence arms pcg_warm_dp/pcg_cold_dp) at 40%
+            # fewer CG matmuls — measured 2.40x vs 2.60x on-chip.
+            pcg_iters=_env_i("KFB_ITERS", 3),
             pcg_precond_freq=_env_i("KFB_PREC_FREQ", 10),
             # 'auto' = fused 3-matmul CG (exact eigen update of the
             # prec_freq-stale factors = reference TInv=prec_freq);
             # 'never' = 4-matmul operator form (exact TInv=1 update,
             # staleness only affects CG rate)
             pcg_fused=os.environ.get("KFB_FUSED", "auto"),
-            pcg_warm_start=bool(_env_i("KFB_WARM", 0)),
+            pcg_warm_start=bool(_env_i("KFB_WARM", 1)),
             kfac_update_freq=_env_i("KFB_TINV", 1),
             fac_update_freq=_env_i("KFB_TCOV", 1),
             static_schedule=True,
-            factor_impl=os.environ.get("KFB_FACTOR", "xla"),
+            # 'auto' = fused Pallas patch covariance only where measured
+            # to win (many patch rows over few channels: RN50's 56x56/c64
+            # layers, 6x per-op), XLA elsewhere (blanket 'pallas' measured
+            # +14 ms/step from the losing large-c layers)
+            factor_impl=os.environ.get("KFB_FACTOR", "auto"),
             symeig_impl=os.environ.get("KFB_SYMEIG", "xla"),
             tracking_warmup=_env_i("KFB_TRACK_WARMUP", 1),
             tracking_exact_freq=_env_i("KFB_TRACK_EXACT", 50),

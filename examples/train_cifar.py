@@ -81,11 +81,12 @@ def parse_args(argv=None):
                    choices=["xla", "jacobi", "blocked", "tracking"],
                    help="eigen-variant eigensolver (tracking = online "
                         "eigenbasis refresh, matmuls only)")
-    p.add_argument("--factor-impl", default="xla",
-                   choices=["xla", "pallas", "taps"],
-                   help="conv A-factor path (pallas = fused streaming "
-                        "patch covariance; taps = symmetric tap-pair "
-                        "GEMMs, no patch materialization; TPU only)")
+    p.add_argument("--factor-impl", default="auto",
+                   choices=["auto", "xla", "pallas", "taps"],
+                   help="conv A-factor path (auto = measured dispatch "
+                        "policy, pallas where patch traffic dominates; "
+                        "pallas = fused streaming patch covariance; taps "
+                        "= symmetric tap-pair GEMMs; TPU only)")
     p.add_argument("--pcg-iters", type=int, default=5,
                    help="CG iterations for --kfac-name pcg_dp")
     p.add_argument("--pcg-warm-start", action="store_true",

@@ -35,6 +35,7 @@ the XLA path, which is fastest for them anyway (small C => small D).
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Sequence, Tuple
 
 import jax
@@ -97,10 +98,16 @@ def _pick_b_chunk(b: int, hp: int, wp: int, c: int, itemsize: int = 2) -> int:
 
 
 def supported(a_shape, kernel_size, strides=(1, 1)) -> bool:
-    """Unit-stride multi-tap convs with lane-aligned channels."""
+    """Unit-stride multi-tap convs with lane-aligned channels, c <= 128.
+
+    The c cap is a measured Mosaic limit on this environment: at c=256
+    the per-pair window dots blow up compile memory (chunk<=8 OOM-kills
+    the compile helper; chunk=1 fails outright), and at the sizes that DO
+    compile the kernel only ties/loses to the XLA path (bench_ops
+    --op factor_a), so large-c support is not worth chasing."""
     _, _, _, c = a_shape
     kh, kw = kernel_size
-    if kh * kw == 1 or c % 128 != 0:
+    if kh * kw == 1 or c % 128 != 0 or c > 128:
         return False
     if tuple(strides) != (1, 1):
         return False
@@ -139,8 +146,12 @@ def tap_cov(
     n_rows = bc * oh * ow
 
     # chunk pairs so each call's resident output block fits VMEM; group by
-    # t1 (pairs are generated t1-major) so window reads CSE within a chunk
-    chunk = max(1, _OUT_BUDGET // (c * c * 4))
+    # t1 (pairs are generated t1-major) so window reads CSE within a chunk.
+    # Also cap the unrolled dot count per kernel: Mosaic compile memory
+    # grows superlinearly in unrolled window-reshape dots (16 pairs at
+    # c=256 OOM-killed the remote compile helper; 8 is safe)
+    chunk = max(1, min(_OUT_BUDGET // (c * c * 4),
+                       int(os.environ.get("KFAC_TAP_CHUNK", "8"))))
     blocks = []
     for start in range(0, len(pairs), chunk):
         chunk_pairs = pairs[start : start + chunk]

@@ -195,11 +195,15 @@ class KFACConfig:
     # tensor-core path (utils.py:156,217); accumulation stays fp32 either
     # way via preferred_element_type
     factor_dtype: Any = "float32"
-    # A-factor implementation: 'xla' (extract_patches + dot_general),
-    # 'pallas' (fused streaming patch covariance, ops/pallas/patch_cov.py)
-    # or 'taps' (symmetric tap-pair GEMMs, ops/pallas/tap_cov.py — no
-    # patch materialization AND a 45% flop cut from block symmetry).
-    # Supported conv geometries on TPU only; everything else falls back
+    # A-factor implementation: 'auto' (measured dispatch policy — the
+    # fused Pallas kernel exactly where patch-materialization traffic
+    # dominates, i.e. many patch rows over few channels; XLA elsewhere),
+    # 'xla' (extract_patches + dot_general), 'pallas' (fused streaming
+    # patch covariance, ops/pallas/patch_cov.py) or 'taps' (symmetric
+    # tap-pair GEMMs, ops/pallas/tap_cov.py — no patch materialization
+    # AND a 45% flop cut from block symmetry; measured: ties/loses to
+    # XLA, kept as a documented negative result). Pallas paths apply to
+    # supported conv geometries on TPU only; everything else falls back
     # to the XLA path.
     factor_impl: str = "xla"
 

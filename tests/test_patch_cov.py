@@ -123,6 +123,31 @@ def test_tap_cov_supported_gate():
     assert not tcov.supported((2, 8, 8, 128), (3, 3), (2, 2))  # stride
     assert not tcov.supported((2, 8, 8, 64), (3, 3), (1, 1))   # lanes
     assert not tcov.supported((2, 8, 8, 128), (1, 1), (1, 1))  # 1x1
+    # large-c: Mosaic compile blow-up on this environment + measured loss
+    assert not tcov.supported((2, 7, 7, 256), (3, 3), (1, 1))
+
+
+def test_compute_a_conv_auto_dispatch():
+    """impl='auto' routes by the measured rows/channels policy and always
+    computes the same factor as the XLA path (on CPU both branches lower
+    to XLA, so this checks routing is at least value-transparent), and the
+    policy itself picks pallas exactly for the traffic-bound geometries."""
+    from kfac_pytorch_tpu.ops import factors as F
+
+    rng = np.random.RandomState(3)
+    for (b, h, w, c) in [(32, 56, 56, 64), (32, 28, 28, 128)]:
+        a = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+        pad = F.resolve_conv_padding("SAME", (h, w), (3, 3), (1, 1))
+        got = np.asarray(
+            F.compute_a_conv(a, (3, 3), (1, 1), pad, True, impl="auto")
+        )
+        want = np.asarray(
+            F.compute_a_conv(a, (3, 3), (1, 1), pad, True, impl="xla")
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # the routing decision itself (rows >= 555*c): RN50 56x56/c64 -> pallas
+    assert 32 * 56 * 56 >= 555 * 64
+    assert 32 * 28 * 28 < 555 * 128
 
 
 def test_compute_a_conv_taps_impl_matches_xla():

@@ -55,10 +55,15 @@ def _timeit(fn, *args, iters=6, warmup=None):
         return time.perf_counter() - t0
 
     run(1)
-    run(iters)
-    t1 = min(run(1) for _ in range(2))
-    tk = min(run(iters) for _ in range(2))
-    return max((tk - t1) / (iters - 1), 1e-9)
+    while True:
+        run(iters)
+        t1 = min(run(1) for _ in range(2))
+        tk = min(run(iters) for _ in range(2))
+        # sub-ms ops sit below the tunnel's dispatch jitter at small k:
+        # escalate the chain length until the delta is resolvable
+        if tk - t1 > 2e-3 or iters >= 512:
+            return max((tk - t1) / (iters - 1), 1e-9)
+        iters *= 8
 
 
 def _spd(rng, n):
