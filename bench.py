@@ -127,6 +127,7 @@ def _build(model_name, batch, image, num_classes):
             # layers, 6x per-op), XLA elsewhere (blanket 'pallas' measured
             # +14 ms/step from the losing large-c layers)
             factor_impl=os.environ.get("KFB_FACTOR", "auto"),
+            factor_dtype=os.environ.get("KFB_FDTYPE", "float32"),
             symeig_impl=os.environ.get("KFB_SYMEIG", "xla"),
             tracking_warmup=_env_i("KFB_TRACK_WARMUP", 1),
             tracking_exact_freq=_env_i("KFB_TRACK_EXACT", 50),

@@ -218,22 +218,22 @@ def compute_a_conv(
     """
     batch_size = a.shape[0]
     if impl == "auto":
-        # Measured dispatch policy (v5e, tools/bench_ops --op factor_a,
-        # chained timing, bs32 RN50 3x3 shapes):
-        #   c= 64 56x56  xla 3.65 ms  pallas 0.58 ms   <- 6x win
-        #   c=128 28x28  xla 0.68 ms  pallas 1.90 ms   <- loses
-        #   c=256 14x14  xla 0.52 ms  pallas 1.78 ms   <- loses
-        #   c=512  7x7   xla 0.46 ms  pallas 2.03 ms   <- loses
-        # The fused kernel wins exactly where the XLA path is bound by
-        # patch materialization traffic: many rows over few channels.
-        # rows/c separates the regimes by ~8x on both sides (1568 vs 196),
+        # Measured dispatch policy (v5e, long warm chained probes, bs32
+        # RN50 3x3 shapes, VMEM-sized single/multi column-chunk kernel):
+        #   c= 64 56x56  xla 3.55 ms  pallas 0.64 ms   <- 5.5x win
+        #   c=128 28x28  xla 0.92 ms  pallas 0.58 ms   <- 1.6x win
+        #   c=256 14x14  xla 0.56 ms  pallas 0.92 ms   <- loses
+        #   c=512  7x7   xla 0.50 ms  pallas 2.32 ms   <- loses
+        # The fused kernel wins where the XLA path pays significant patch
+        # materialization traffic: many patch rows over few channels.
+        # rows/c separates the regimes by ~8x on both sides (196 vs 24.5),
         # so gate at the geometric middle.
         kh, kw = kernel_size
         (ph0, ph1), (pw0, pw1) = padding
         oh = (a.shape[1] + ph0 + ph1 - kh) // strides[0] + 1
         ow = (a.shape[2] + pw0 + pw1 - kw) // strides[1] + 1
         rows = batch_size * oh * ow
-        impl = "pallas" if rows >= 555 * a.shape[3] else "xla"
+        impl = "pallas" if rows >= 70 * a.shape[3] else "xla"
     if impl == "taps" and jax.default_backend() == "tpu":
         from kfac_pytorch_tpu.ops.pallas import tap_cov as tcov
 
@@ -253,7 +253,7 @@ def compute_a_conv(
     if impl == "pallas" and jax.default_backend() == "tpu":
         from kfac_pytorch_tpu.ops.pallas import patch_cov as pcov
 
-        if pcov.supported(a.shape, kernel_size, strides):
+        if pcov.supported(a.shape, kernel_size, strides, padding):
             pp = pcov.patch_cov(
                 a.astype(jnp.float32), kernel_size, strides, padding
             )

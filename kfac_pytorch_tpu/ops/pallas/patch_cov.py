@@ -83,33 +83,69 @@ def _kernel(a_ref, out_ref, xcat_ref, *, kh, kw, sh, sw, oh, ow, c,
         out_ref[...] += acc
 
 
-def _pick_b_chunk(b: int, oh: int, ow: int, d: int,
-                  itemsize: int = 2) -> int:
-    """Largest batch chunk dividing b with X_cat under ~4 MB and row count
-    reasonable for the MXU contraction."""
-    best = 1
-    for bc in range(1, b + 1):
-        if b % bc:
+# Leave headroom under the ~16 MB/core scoped-VMEM limit for lane-padding
+# of non-128-multiple dims and compiler temporaries (measured: an 11 MB
+# nominal budget compiled to a 20.7 MB scoped allocation and was rejected).
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _pick_chunks(b, oh, ow, hp, wp, c, d, itemsize):
+    """(c_chunk, bc): widest lane-aligned output column chunk + batch chunk
+    that fit the VMEM budget together.
+
+    Column chunks are expensive: the activation tile is re-streamed and the
+    X_cat scratch reassembled once per chunk (the input/out specs only
+    depend on the batch index), so n_cols multiplies the kernel's HBM
+    traffic and VPU assembly work. The original fixed c_chunk=128 made the
+    c=128 28x28 layer re-read its tile 9x and LOSE to XLA's materialized
+    path (bench_ops --op factor_a); sizing the chunk to VMEM gives
+    n_cols=1 for D<=1152 and 2-12 above."""
+    tile = hp * wp * c * 4  # f32 input tile per batch element
+    # candidate widths: full D, else 128-multiples dividing D (Mosaic lane
+    # rule: last dim is a multiple of 128 or the full array dim)
+    cands = [d] + [w for w in range(d - d % 128, 127, -128) if d % w == 0]
+    for c_chunk in sorted(set(cands), reverse=True):
+        # a single-column-chunk output block never changes grid index and
+        # stays VMEM-resident; multi-chunk outputs are double-buffered by
+        # Mosaic (measured: c=256 c_chunk=768 compiled to a 22.9 MB scoped
+        # allocation, ~2x the block's nominal 7.1 MB + scratch)
+        out_bytes = d * c_chunk * 4 * (1 if c_chunk == d else 2)
+        if out_bytes >= _VMEM_BUDGET:
             continue
-        n = bc * oh * ow
-        if n * d * itemsize <= 4 * 1024 * 1024:
-            best = bc
-    return best
+        best_bc = 0
+        for bc in range(1, b + 1):
+            if b % bc:
+                continue
+            # input block counted twice: Mosaic double-buffers grid inputs
+            if (bc * oh * ow * d * itemsize + out_bytes + 2 * bc * tile
+                    <= _VMEM_BUDGET):
+                best_bc = bc
+        if best_bc:
+            return c_chunk, best_bc
+    return None  # no feasible blocking: even bc=1 X_cat overflows VMEM
 
 
-def supported(a_shape, kernel_size, strides=(1, 1), c_chunk_cap=512) -> bool:
+def supported(a_shape, kernel_size, strides=(1, 1),
+              padding=None) -> bool:
     """Geometry gate: lane-friendly channel counts, a multi-tap kernel
-    (1x1 convs and tiny-C stems keep the XLA path), and unit strides —
+    (1x1 convs and tiny-C stems keep the XLA path), unit strides —
     strided window reads lower to tpu.strided_load, which Mosaic only
     implements for 128-wide base memrefs (measured on v5e: stride-2 3x3
-    convs fail to compile; RN50 has 3 such layers, left on the XLA path)."""
+    convs fail to compile; RN50 has 3 such layers, left on the XLA path)
+    — and a feasible VMEM blocking (huge spatial maps where even a
+    single-image X_cat overflows VMEM, e.g. 112x112/c128, stay on XLA)."""
     b, h, w, c = a_shape
     kh, kw = kernel_size
     if kh * kw == 1 or c < 64 or c % 8 != 0:
         return False
     if tuple(strides) != (1, 1):
         return False
-    return True
+    if padding is None:
+        padding = ((kh // 2, kh // 2), (kw // 2, kw // 2))
+    (ph0, ph1), (pw0, pw1) = padding
+    hp, wp = h + ph0 + ph1, w + pw0 + pw1
+    oh, ow = hp - kh + 1, wp - kw + 1
+    return _pick_chunks(b, oh, ow, hp, wp, c, kh * kw * c, 2) is not None
 
 
 @functools.partial(
@@ -139,16 +175,16 @@ def patch_cov(
     oh = (hp - kh) // sh + 1
     ow = (wp - kw) // sw + 1
     d = kh * kw * c
-    # Mosaic requires the output block's last dim to be a multiple of 128
-    # (the lane width) or the full array dim: prefer 128-wide column chunks
-    # when they divide D, else fall back to the whole row (D x D output in
-    # one block — fine for the small-D layers where this happens).
-    if d % 128 == 0:
-        c_chunk = 128
-    else:
-        c_chunk = d
+    chunks = _pick_chunks(
+        b, oh, ow, hp, wp, c, d, jnp.dtype(compute_dtype).itemsize
+    )
+    if chunks is None:
+        raise ValueError(
+            f"patch_cov: no VMEM-feasible blocking for {a.shape} "
+            f"k={kernel_size} (gate with supported())"
+        )
+    c_chunk, bc = chunks
     n_cols = d // c_chunk
-    bc = _pick_b_chunk(b, oh, ow, d, jnp.dtype(compute_dtype).itemsize)
     n_b = b // bc
     n_rows = bc * oh * ow
 

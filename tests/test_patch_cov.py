@@ -21,7 +21,11 @@ from kfac_pytorch_tpu.ops.pallas import patch_cov as pcov
         (2, 8, 8, 64, 3, 1, 1),
         (2, 9, 9, 64, 3, 2, 1),
         (1, 8, 8, 128, 3, 1, 1),
-        (1, 10, 10, 64, 5, 1, 2),
+        # k=5 with D=3200: exercises the multi-column-chunk (dslice) path
+        # (c_chunk=640, n_cols=5); the old k=5/c=64 case (D=1600, no
+        # 128-multiple divisor, 10.2 MB single output block) is now
+        # rejected by the VMEM-feasibility gate
+        (1, 10, 10, 128, 5, 1, 2),
     ],
 )
 def test_patch_cov_matches_materialized(b, h, w, c, k, s, p):
@@ -86,6 +90,12 @@ def test_supported_gate():
     assert pcov.supported((2, 8, 8, 64), (3, 3))
     assert not pcov.supported((2, 8, 8, 64), (1, 1))  # 1x1: no patches
     assert not pcov.supported((2, 224, 224, 3), (7, 7))  # tiny C stem
+    # huge spatial map: even a single-image X_cat overflows VMEM
+    assert not pcov.supported((32, 112, 112, 128), (3, 3))
+    # the RN50 3x3 geometries all remain dispatchable
+    for (b, h, w, c) in [(32, 56, 56, 64), (32, 28, 28, 128),
+                         (32, 14, 14, 256), (32, 7, 7, 512)]:
+        assert pcov.supported((b, h, w, c), (3, 3))
 
 
 @pytest.mark.parametrize(
@@ -145,9 +155,11 @@ def test_compute_a_conv_auto_dispatch():
             F.compute_a_conv(a, (3, 3), (1, 1), pad, True, impl="xla")
         )
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
-    # the routing decision itself (rows >= 555*c): RN50 56x56/c64 -> pallas
-    assert 32 * 56 * 56 >= 555 * 64
-    assert 32 * 28 * 28 < 555 * 128
+    # the routing decision itself (rows >= 70*c): the traffic-bound RN50
+    # geometries go pallas, the small-spatial ones stay XLA
+    assert 32 * 56 * 56 >= 70 * 64
+    assert 32 * 28 * 28 >= 70 * 128
+    assert 32 * 14 * 14 < 70 * 256
 
 
 def test_compute_a_conv_taps_impl_matches_xla():
