@@ -83,6 +83,51 @@ def _kernel(a_ref, out_ref, xcat_ref, *, kh, kw, sh, sw, oh, ow, c,
         out_ref[...] += acc
 
 
+def _tri_kernel(a_ref, out_ref, xcat_ref, *, kh, kw, sh, sw, oh, ow, c,
+                n_b):
+    """Symmetric-aware variant: X^T X is symmetric, so compute only the
+    upper block-row strips out[rb*128:, rb*128:] = X_rb^T X[:, rb*128:]
+    (~45% fewer MXU flops at D=1152); the caller mirrors the strict lower
+    triangle outside the kernel. Requires the whole (Dp, Dp) output block
+    VMEM-resident (single column chunk). Pad columns of the scratch
+    (D..Dp) are never written — their garbage only reaches output
+    rows/cols >= D, which the caller slices off."""
+    nb = pl.program_id(0)
+    bc = a_ref.shape[0]
+    n_rows = bc * oh * ow
+    dpad = xcat_ref.shape[1]
+
+    for i in range(kh):
+        for j in range(kw):
+            win = a_ref[
+                :,
+                i : i + (oh - 1) * sh + 1 : sh,
+                j : j + (ow - 1) * sw + 1 : sw,
+                :,
+            ]
+            xcat_ref[:, (i * kw + j) * c : (i * kw + j + 1) * c] = (
+                win.reshape(n_rows, c).astype(xcat_ref.dtype)
+            )
+
+    for rb in range(dpad // 128):
+        lhs = xcat_ref[:, rb * 128 : (rb + 1) * 128]
+        rhs = xcat_ref[:, rb * 128 :]
+        acc = jax.lax.dot_general(
+            lhs,
+            rhs,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(nb == 0)
+        def _(rb=rb, acc=acc):
+            out_ref[rb * 128 : (rb + 1) * 128, rb * 128 :] = acc
+
+        @pl.when(nb != 0)
+        def _(rb=rb, acc=acc):
+            out_ref[rb * 128 : (rb + 1) * 128, rb * 128 :] += acc
+
+
 # Leave headroom under the ~16 MB/core scoped-VMEM limit for lane-padding
 # of non-128-multiple dims and compiler temporaries (measured: an 11 MB
 # nominal budget compiled to a 20.7 MB scoped allocation and was rejected).
@@ -125,6 +170,25 @@ def _pick_chunks(b, oh, ow, hp, wp, c, d, itemsize):
     return None  # no feasible blocking: even bc=1 X_cat overflows VMEM
 
 
+def _pick_tri(b, oh, ow, hp, wp, c, d, itemsize):
+    """bc for the symmetric block-triangular kernel (whole lane-padded
+    (Dp, Dp) output resident, X_cat widened to Dp), or None if it cannot
+    fit VMEM."""
+    dpad = -(-d // 128) * 128
+    tile = hp * wp * c * 4
+    out_bytes = dpad * dpad * 4
+    if out_bytes >= _VMEM_BUDGET:
+        return None
+    best_bc = 0
+    for bc in range(1, b + 1):
+        if b % bc:
+            continue
+        if (bc * oh * ow * dpad * itemsize + out_bytes + 2 * bc * tile
+                <= _VMEM_BUDGET):
+            best_bc = bc
+    return best_bc or None
+
+
 def supported(a_shape, kernel_size, strides=(1, 1),
               padding=None) -> bool:
     """Geometry gate: lane-friendly channel counts, a multi-tap kernel
@@ -145,7 +209,9 @@ def supported(a_shape, kernel_size, strides=(1, 1),
     (ph0, ph1), (pw0, pw1) = padding
     hp, wp = h + ph0 + ph1, w + pw0 + pw1
     oh, ow = hp - kh + 1, wp - kw + 1
-    return _pick_chunks(b, oh, ow, hp, wp, c, kh * kw * c, 2) is not None
+    d = kh * kw * c
+    return (_pick_tri(b, oh, ow, hp, wp, c, d, 2) is not None
+            or _pick_chunks(b, oh, ow, hp, wp, c, d, 2) is not None)
 
 
 @functools.partial(
@@ -175,9 +241,13 @@ def patch_cov(
     oh = (hp - kh) // sh + 1
     ow = (wp - kw) // sw + 1
     d = kh * kw * c
-    chunks = _pick_chunks(
-        b, oh, ow, hp, wp, c, d, jnp.dtype(compute_dtype).itemsize
-    )
+    itemsize = jnp.dtype(compute_dtype).itemsize
+    tri_bc = _pick_tri(b, oh, ow, hp, wp, c, d, itemsize)
+    if tri_bc is not None:
+        return _patch_cov_tri(
+            a, kh, kw, sh, sw, oh, ow, c, d, tri_bc, compute_dtype
+        )
+    chunks = _pick_chunks(b, oh, ow, hp, wp, c, d, itemsize)
     if chunks is None:
         raise ValueError(
             f"patch_cov: no VMEM-feasible blocking for {a.shape} "
@@ -217,3 +287,49 @@ def patch_cov(
         ),
     )(a)
     return out
+
+
+def _patch_cov_tri(a, kh, kw, sh, sw, oh, ow, c, d, bc, compute_dtype):
+    """Symmetric block-triangular path: one resident (Dp, Dp) output,
+    upper block-row strip GEMMs in-kernel (~45% flop cut from symmetry),
+    block mirror + crop outside. Dp = D rounded up to the 128-lane width;
+    pad-column garbage only reaches the cropped region."""
+    b, hp, wp, _ = a.shape
+    dpad = -(-d // 128) * 128
+    n_b = b // bc
+    n_rows = bc * oh * ow
+    kernel = functools.partial(
+        _tri_kernel, kh=kh, kw=kw, sh=sh, sw=sw, oh=oh, ow=ow, c=c,
+        n_b=n_b,
+    )
+    # upper-triangle flops: sum_rb 128*(dpad - rb*128) contractions
+    nblk = dpad // 128
+    tri_cols = 128 * dpad * (nblk + 1) // 2
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_b,),
+        in_specs=[
+            pl.BlockSpec(
+                (bc, hp, wp, c), lambda nb: (nb, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (dpad, dpad), lambda nb: (0, 0), memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((dpad, dpad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((n_rows, dpad), jnp.dtype(compute_dtype))
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * oh * ow * tri_cols,
+            bytes_accessed=b * hp * wp * c * 4,
+            transcendentals=0,
+        ),
+    )(a)
+    blk = jnp.arange(dpad) // 128
+    upper = blk[None, :] >= blk[:, None]
+    return jnp.where(upper, out, out.T)[:d, :d]
