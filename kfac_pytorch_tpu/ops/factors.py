@@ -194,6 +194,53 @@ def _patch_col_sums(
     return jnp.concatenate(cols), b * oh * ow
 
 
+def resolve_a_conv_impl(
+    shape: Tuple[int, ...],
+    kernel_size: Tuple[int, int],
+    strides: Tuple[int, int],
+    padding: PadPairs,
+    impl: str,
+) -> str:
+    """Statically resolve compute_a_conv's ``impl`` dispatch for one input
+    geometry — 'auto' applies the measured policy; 'pallas'/'taps' fall back
+    to 'xla' off-TPU or for kernel-unsupported geometries. Exposed so
+    callers batching same-shape layers can decide ONCE per shape whether the
+    group is vmappable (XLA path) or must run the fused kernel per row."""
+    b, h, w, c = shape
+    if impl == "auto":
+        # Measured dispatch policy (v5e, long warm chained probes, bs32
+        # RN50 3x3 shapes, VMEM-sized single/multi column-chunk kernel):
+        #   c= 64 56x56  xla 3.55 ms  pallas 0.64 ms   <- 5.5x win
+        #   c=128 28x28  xla 0.92 ms  pallas 0.58 ms   <- 1.6x win
+        #   c=256 14x14  xla 0.56 ms  pallas 0.92 ms   <- loses
+        #   c=512  7x7   xla 0.50 ms  pallas 2.32 ms   <- loses
+        # The fused kernel wins where the XLA path pays significant patch
+        # materialization traffic: many patch rows over few channels.
+        # rows/c separates the regimes by ~8x on both sides (196 vs 24.5),
+        # so gate at the geometric middle.
+        kh, kw = kernel_size
+        (ph0, ph1), (pw0, pw1) = padding
+        oh = (h + ph0 + ph1 - kh) // strides[0] + 1
+        ow = (w + pw0 + pw1 - kw) // strides[1] + 1
+        rows = b * oh * ow
+        impl = "pallas" if rows >= 70 * c else "xla"
+    if impl == "taps":
+        if jax.default_backend() == "tpu":
+            from kfac_pytorch_tpu.ops.pallas import tap_cov as tcov
+
+            if tcov.supported(shape, kernel_size, strides):
+                return "taps"
+        return "xla"
+    if impl == "pallas":
+        if jax.default_backend() == "tpu":
+            from kfac_pytorch_tpu.ops.pallas import patch_cov as pcov
+
+            if pcov.supported(shape, kernel_size, strides, padding):
+                return "pallas"
+        return "xla"
+    return impl
+
+
 def compute_a_conv(
     a: jax.Array,
     kernel_size: Tuple[int, int],
@@ -217,57 +264,29 @@ def compute_a_conv(
     unsupported layers and non-TPU backends fall back to the XLA path.
     """
     batch_size = a.shape[0]
-    if impl == "auto":
-        # Measured dispatch policy (v5e, long warm chained probes, bs32
-        # RN50 3x3 shapes, VMEM-sized single/multi column-chunk kernel):
-        #   c= 64 56x56  xla 3.55 ms  pallas 0.64 ms   <- 5.5x win
-        #   c=128 28x28  xla 0.92 ms  pallas 0.58 ms   <- 1.6x win
-        #   c=256 14x14  xla 0.56 ms  pallas 0.92 ms   <- loses
-        #   c=512  7x7   xla 0.50 ms  pallas 2.32 ms   <- loses
-        # The fused kernel wins where the XLA path pays significant patch
-        # materialization traffic: many patch rows over few channels.
-        # rows/c separates the regimes by ~8x on both sides (196 vs 24.5),
-        # so gate at the geometric middle.
-        kh, kw = kernel_size
-        (ph0, ph1), (pw0, pw1) = padding
-        oh = (a.shape[1] + ph0 + ph1 - kh) // strides[0] + 1
-        ow = (a.shape[2] + pw0 + pw1 - kw) // strides[1] + 1
-        rows = batch_size * oh * ow
-        impl = "pallas" if rows >= 70 * a.shape[3] else "xla"
-    if impl == "taps" and jax.default_backend() == "tpu":
-        from kfac_pytorch_tpu.ops.pallas import tap_cov as tcov
+    impl = resolve_a_conv_impl(a.shape, kernel_size, strides, padding, impl)
+    if impl in ("taps", "pallas"):
+        if impl == "taps":
+            from kfac_pytorch_tpu.ops.pallas import tap_cov as tcov
 
-        if tcov.supported(a.shape, kernel_size, strides):
             pp = tcov.tap_cov(a, kernel_size, padding)
-            col, n_rows = _patch_col_sums(a, kernel_size, strides, padding)
-            oh_ow = n_rows // batch_size
-            scale = 1.0 / (oh_ow * oh_ow * batch_size)
-            pp = pp * scale
-            if not has_bias:
-                return pp
-            col = col * scale
-            corner = jnp.asarray(n_rows * scale, jnp.float32)
-            top = jnp.concatenate([pp, col[:, None]], axis=1)
-            bot = jnp.concatenate([col, corner[None]])[None, :]
-            return jnp.concatenate([top, bot], axis=0)
-    if impl == "pallas" and jax.default_backend() == "tpu":
-        from kfac_pytorch_tpu.ops.pallas import patch_cov as pcov
+        else:
+            from kfac_pytorch_tpu.ops.pallas import patch_cov as pcov
 
-        if pcov.supported(a.shape, kernel_size, strides, padding):
             pp = pcov.patch_cov(
                 a.astype(jnp.float32), kernel_size, strides, padding
             )
-            col, n_rows = _patch_col_sums(a, kernel_size, strides, padding)
-            oh_ow = n_rows // batch_size
-            scale = 1.0 / (oh_ow * oh_ow * batch_size)
-            pp = pp * scale
-            if not has_bias:
-                return pp
-            col = col * scale
-            corner = jnp.asarray(n_rows * scale, jnp.float32)
-            top = jnp.concatenate([pp, col[:, None]], axis=1)
-            bot = jnp.concatenate([col, corner[None]])[None, :]
-            return jnp.concatenate([top, bot], axis=0)
+        col, n_rows = _patch_col_sums(a, kernel_size, strides, padding)
+        oh_ow = n_rows // batch_size
+        scale = 1.0 / (oh_ow * oh_ow * batch_size)
+        pp = pp * scale
+        if not has_bias:
+            return pp
+        col = col * scale
+        corner = jnp.asarray(n_rows * scale, jnp.float32)
+        top = jnp.concatenate([pp, col[:, None]], axis=1)
+        bot = jnp.concatenate([col, corner[None]])[None, :]
+        return jnp.concatenate([top, bot], axis=0)
     p = extract_patches(a, kernel_size, strides, padding)
     spatial_size = p.shape[1] * p.shape[2]
     v = p.reshape(-1, p.shape[-1])

@@ -55,7 +55,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from kfac_pytorch_tpu.capture import COL_A, DENSE, LayerSpec
+from kfac_pytorch_tpu.capture import COL_A, CONV, DENSE, LayerSpec
 from kfac_pytorch_tpu.ops import factors as fops
 from kfac_pytorch_tpu.ops import linalg as lops
 from kfac_pytorch_tpu.ops import precond as pops
@@ -349,12 +349,36 @@ class BlockKFAC:
 
     # ------------------------------------------------------------ factors
 
+    @staticmethod
+    def _factor_batch_key(spec: LayerSpec, a, g):
+        """Rows with equal keys compute identically-shaped factor GEMMs from
+        identically-shaped inputs, so the whole group runs as ONE stacked
+        vmapped op (same geometry AND same activation/cotangent shapes —
+        equal param shape alone is not enough: e.g. equal 3x3 convs at
+        different spatial resolutions)."""
+        return (
+            spec.kind, spec.kernel_size, spec.strides, spec.padding,
+            spec.has_bias, spec.n_groups, spec.group_idx, a.shape, g.shape,
+        )
+
     def _fresh_bucket_factors(self, bucket: Bucket, acts, gs):
-        """Stacked fresh factors [L, da, da]/[L, dg, dg]; grouped-conv
-        modules compute all their groups in ONE vmapped op (essential for
-        depthwise nets where a layer contributes hundreds of rows)."""
+        """Stacked fresh factors [L, da, da]/[L, dg, dg].
+
+        Trace-time batching: single rows sharing layer geometry and input
+        shapes compute their factor GEMMs as ONE stacked vmapped op each for
+        A and G (per-layer factor GEMMs on a 50-conv net are ~100 small
+        dispatches; batched they are a handful of MXU ops). Outputs are
+        emitted in group order and restored to bucket row order with one
+        static-permutation gather. Grouped-conv modules keep their vmapped
+        per-group path; rows whose A factor dispatches to the fused Pallas
+        patch-cov kernel stay per-row (no batching rule), but their G
+        factors still batch."""
         prec = self.config.precision
+        fdt = self.config._factor_dtype
         a_list, g_list = [], []
+        row_order: List[int] = []  # bucket-row index of each emitted row
+        singles: Dict[tuple, list] = {}
+        pos = 0
         for kind, payload in self._iter_row_blocks(bucket):
             if kind == "pad":
                 eye_a = jnp.broadcast_to(
@@ -365,24 +389,16 @@ class BlockKFAC:
                 )
                 a_list.append(eye_a)
                 g_list.append(eye_g)
+                row_order.extend(range(pos, pos + payload))
+                pos += payload
             elif kind == "single":
                 spec = payload
                 a = _get_path(acts, spec.path)["a"]
                 g = _get_path(gs, spec.path)["p"]
-                fdt = self.config._factor_dtype
-                a_list.append(
-                    _embed_eye(
-                        compute_factor_a(
-                            spec, a, prec, fdt, self.config.factor_impl
-                        ),
-                        bucket.da,
-                    )[None]
-                )
-                g_list.append(
-                    _embed_eye(
-                        compute_factor_g(spec, g, prec, fdt), bucket.dg
-                    )[None]
-                )
+                singles.setdefault(
+                    self._factor_batch_key(spec, a, g), []
+                ).append((pos, spec, a, g))
+                pos += 1
             else:  # grouped module: vmap over the group axis
                 specs = payload
                 s0 = specs[0]
@@ -398,7 +414,6 @@ class BlockKFAC:
                 g_g = jnp.moveaxis(
                     g.reshape(g.shape[:-1] + (ng, og)), -2, 0
                 )
-                fdt = self.config._factor_dtype
                 fa = jax.vmap(
                     lambda ax: fops.compute_a_conv(
                         ax, s0.kernel_size, s0.strides, s0.padding,
@@ -411,7 +426,57 @@ class BlockKFAC:
                 )(g_g)
                 a_list.append(_embed_eye_batched(fa, bucket.da))
                 g_list.append(_embed_eye_batched(fg, bucket.dg))
-        return jnp.concatenate(a_list), jnp.concatenate(g_list)
+                row_order.extend(range(pos, pos + ng))
+                pos += ng
+
+        impl = self.config.factor_impl
+        for key, items in singles.items():
+            s0 = items[0][1]
+            row_order.extend(p for p, _, _, _ in items)
+            a_impl = impl
+            if s0.kind == CONV:
+                a_shape = list(items[0][2].shape)
+                if s0.n_groups > 1:
+                    a_shape[-1] //= s0.n_groups
+                a_impl = fops.resolve_a_conv_impl(
+                    tuple(a_shape), s0.kernel_size, s0.strides, s0.padding,
+                    impl,
+                )
+            if len(items) == 1 or a_impl in ("pallas", "taps"):
+                # fused-kernel rows: per-row A (the Pallas call has no
+                # batching rule) — still one call per layer, not per chunk
+                fa_rows = [
+                    _embed_eye(
+                        compute_factor_a(s, a, prec, fdt, a_impl), bucket.da
+                    )[None]
+                    for _, s, a, _ in items
+                ]
+                a_list.extend(fa_rows)
+            else:
+                fa = jax.vmap(
+                    lambda ax: compute_factor_a(s0, ax, prec, fdt, a_impl)
+                )(jnp.stack([a for _, _, a, _ in items]))
+                a_list.append(_embed_eye_batched(fa, bucket.da))
+            if len(items) == 1:
+                g_list.append(
+                    _embed_eye(
+                        compute_factor_g(s0, items[0][3], prec, fdt),
+                        bucket.dg,
+                    )[None]
+                )
+            else:
+                fg = jax.vmap(
+                    lambda gx: compute_factor_g(s0, gx, prec, fdt)
+                )(jnp.stack([g for _, _, _, g in items]))
+                g_list.append(_embed_eye_batched(fg, bucket.dg))
+
+        fa_all = jnp.concatenate(a_list) if len(a_list) > 1 else a_list[0]
+        fg_all = jnp.concatenate(g_list) if len(g_list) > 1 else g_list[0]
+        if row_order != sorted(row_order):
+            perm = np.argsort(np.asarray(row_order))
+            fa_all = jnp.take(fa_all, perm, axis=0)
+            fg_all = jnp.take(fg_all, perm, axis=0)
+        return fa_all, fg_all
 
     # ------------------------------------------------- stack / unstack
 
