@@ -126,6 +126,7 @@ def _build(model_name, batch, image, num_classes):
             # to win (many patch rows over few channels: RN50's 56x56/c64
             # layers, 6x per-op), XLA elsewhere (blanket 'pallas' measured
             # +14 ms/step from the losing large-c layers)
+            precision=os.environ.get("KFB_PRECISION") or None,
             factor_impl=os.environ.get("KFB_FACTOR", "auto"),
             factor_dtype=os.environ.get("KFB_FDTYPE", "float32"),
             symeig_impl=os.environ.get("KFB_SYMEIG", "xla"),
@@ -256,6 +257,8 @@ def main():
             last_err = e
             print(f"# bench config {model_name} bs{batch} failed: {e}",
                   file=sys.stderr)
+            if os.environ.get("KFB_NO_FALLBACK"):  # diagnostic arms: the
+                break  # fallback configs only burn compile time
     print(json.dumps({
         "metric": "bench_failed",
         "value": 0,

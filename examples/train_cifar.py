@@ -108,6 +108,13 @@ def parse_args(argv=None):
                         "to the reference pipeline: RandomCrop(32, pad=4) + "
                         "RandomHorizontalFlip + CIFAR normalization, "
                         "pytorch_cifar10_resnet.py:158-166)")
+    p.add_argument("--loader", choices=["inline", "python", "native"],
+                   default="inline",
+                   help="batch pipeline: inline = in-loop numpy "
+                        "augmentation (default); python/native = the "
+                        "kfac_pytorch_tpu.data prefetch loaders (native = "
+                        "C++ thread pool overlapping batch assembly with "
+                        "device compute; requires uint8 npz data)")
     p.add_argument("--iters", type=int, default=None,
                    help="cap total iterations (smoke/SPEED runs)")
     p.add_argument("--speed", action="store_true",
@@ -120,6 +127,9 @@ def parse_args(argv=None):
 
 
 def load_data(args):
+    """Returns ((x_train, y_train), (x_test, y_test), raw_train) where
+    raw_train is the (uint8 images, labels) pair when the dataset is raw
+    uint8 (usable by the prefetch loaders), else None."""
     if args.data_path and os.path.exists(args.data_path):
         from kfac_pytorch_tpu.utils.augment import normalize
 
@@ -128,11 +138,15 @@ def load_data(args):
         # reference's CIFAR statistics; pre-normalized float data
         # (mean ~ 0) is passed through untouched
         x_tr, x_te = d["x_train"], d["x_test"]
+        raw = None
+        if x_tr.dtype == np.uint8:
+            raw = (x_tr, d["y_train"].astype(np.int32))
         if x_tr.dtype == np.uint8 or float(np.abs(x_tr).max()) <= 1.5:
             x_tr, x_te = normalize(x_tr), normalize(x_te)
         return (
             (x_tr.astype(np.float32), d["y_train"].astype(np.int32)),
             (x_te.astype(np.float32), d["y_test"].astype(np.int32)),
+            raw,
         )
     n_train, n_test = 2048, 512
     rng = np.random.RandomState(args.seed)
@@ -140,7 +154,7 @@ def load_data(args):
     y = rng.randint(0, args.num_classes, n_train).astype(np.int32)
     xt = rng.randn(n_test, 32, 32, 3).astype(np.float32)
     yt = rng.randint(0, args.num_classes, n_test).astype(np.int32)
-    return (x, y), (xt, yt)
+    return (x, y), (xt, yt), None
 
 
 def main(argv=None):
@@ -154,7 +168,7 @@ def main(argv=None):
     mesh = meshlib.make_mesh(n_dev) if n_dev > 1 else None
     global_bs = args.batch_size * n_dev
 
-    (x_train, y_train), (x_test, y_test) = load_data(args)
+    (x_train, y_train), (x_test, y_test), raw_train = load_data(args)
     steps_per_epoch = max(len(x_train) // global_bs, 1)
 
     model = get_model(args.model, num_classes=args.num_classes)
@@ -255,22 +269,47 @@ def main(argv=None):
 
     data_rng = np.random.RandomState(args.seed)
     augment = None
-    if args.data_path and not args.no_augment:
+    loader = None
+    if args.loader != "inline":
+        if raw_train is None:
+            raise SystemExit(
+                "--loader python/native needs raw uint8 npz data "
+                "(--data-path with uint8 x_train)"
+            )
+        from kfac_pytorch_tpu.data import make_loader
+        from kfac_pytorch_tpu.utils.augment import CIFAR_MEAN, CIFAR_STD
+
+        loader = make_loader(
+            raw_train[0], raw_train[1], global_bs,
+            impl=args.loader,
+            pad=4, flip=True, augment=not args.no_augment,
+            mean=CIFAR_MEAN, std=CIFAR_STD, seed=args.seed,
+        )
+        steps_per_epoch = loader.n_batches
+        log.info("loader: %s (%d batches/epoch)",
+                 type(loader).__name__, loader.n_batches)
+    elif args.data_path and not args.no_augment:
         from kfac_pytorch_tpu.utils.augment import make_augment_fn
 
         augment = make_augment_fn(args.seed)
     timers = StageTimers()
     global_step = 0
     for epoch in range(args.epochs):
-        perm = data_rng.permutation(len(x_train))
+        if loader is not None:
+            loader.start_epoch(epoch)
+        else:
+            perm = data_rng.permutation(len(x_train))
         train_loss, train_acc = Metric("loss"), Metric("acc")
         for i in range(steps_per_epoch):
-            idx = perm[i * global_bs : (i + 1) * global_bs]
             timers.start("io")
-            xb = x_train[idx]
-            if augment is not None:
-                xb = augment(xb)
-            batch = (jnp.asarray(xb), jnp.asarray(y_train[idx]))
+            if loader is not None:
+                xb, yb = loader.next()
+            else:
+                idx = perm[i * global_bs : (i + 1) * global_bs]
+                xb, yb = x_train[idx], y_train[idx]
+                if augment is not None:
+                    xb = augment(xb)
+            batch = (jnp.asarray(xb), jnp.asarray(yb))
             if mesh is not None:
                 batch = meshlib.shard_batch(mesh, batch)
             timers.stop("io", batch[0])
