@@ -222,3 +222,52 @@ def test_multihost_utils_single_process():
     assert "data" in str(g.sharding.spec)
     assert is_primary()
     assert local_batch_slice(128) == (0, 128)
+
+
+def _per_row_reference_factors(blk, bucket, acts, gs):
+    from kfac_pytorch_tpu.parallel.strategies import _embed_eye
+    from kfac_pytorch_tpu.preconditioner import (
+        _get_path, compute_factor_a, compute_factor_g,
+    )
+
+    ref_a, ref_g = [], []
+    for r in bucket.rows:
+        if r < 0:
+            ref_a.append(np.eye(bucket.da, dtype=np.float32))
+            ref_g.append(np.eye(bucket.dg, dtype=np.float32))
+            continue
+        s = blk.specs[r]
+        a = _get_path(acts, s.path)["a"]
+        g = _get_path(gs, s.path)["p"]
+        ref_a.append(np.asarray(_embed_eye(
+            compute_factor_a(s, a, None, jnp.float32, "xla"), bucket.da)))
+        ref_g.append(np.asarray(_embed_eye(
+            compute_factor_g(s, g, None, jnp.float32), bucket.dg)))
+    return np.stack(ref_a), np.stack(ref_g)
+
+
+@pytest.mark.parametrize("merge", [False, True])
+def test_fresh_bucket_factors_batched_equals_per_row(merge):
+    """The trace-time factor batching (same-shape rows -> one stacked
+    vmapped GEMM + permutation gather) must reproduce the per-row factors
+    exactly, including row ORDER — with natural buckets and with
+    cost-model-merged buckets (heterogeneous real dims + pad rows in one
+    bucket). Net has two 3x3 convs with equal PARAM shapes but different
+    activation spatial shapes (stride 2): the batch key must split them."""
+    model, params, specs, perturbs, x, y = _setup()
+    acts, grads, gs = _capture(model, params, perturbs, x, y)
+    kw = (
+        dict(merge_flop_rate=1e30, merge_dispatch_cost=1e6) if merge else {}
+    )
+    blk = BlockKFAC(specs, KFACConfig(), world_size=1, **kw)
+    if merge:
+        assert len(blk.buckets) < 4  # the cost model actually merged
+    for bucket in blk.buckets:
+        fa, fg = jax.jit(
+            lambda a_, g_, b=bucket: blk._fresh_bucket_factors(b, a_, g_)
+        )(acts, gs)
+        ref_a, ref_g = _per_row_reference_factors(blk, bucket, acts, gs)
+        np.testing.assert_allclose(np.asarray(fa), ref_a, rtol=2e-5,
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(fg), ref_g, rtol=2e-5,
+                                   atol=2e-5)
