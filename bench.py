@@ -128,6 +128,7 @@ def _build(model_name, batch, image, num_classes):
             # +14 ms/step from the losing large-c layers)
             precision=os.environ.get("KFB_PRECISION") or None,
             factor_impl=os.environ.get("KFB_FACTOR", "auto"),
+            factor_batch=bool(_env_i("KFB_FACTOR_BATCH", 1)),
             factor_dtype=os.environ.get("KFB_FDTYPE", "float32"),
             symeig_impl=os.environ.get("KFB_SYMEIG", "xla"),
             tracking_warmup=_env_i("KFB_TRACK_WARMUP", 1),

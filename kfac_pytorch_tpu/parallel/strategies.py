@@ -430,6 +430,12 @@ class BlockKFAC:
                 pos += ng
 
         impl = self.config.factor_impl
+        if not self.config.factor_batch:  # per-layer GEMMs (A/B toggle)
+            singles = {
+                (key, i): [it]
+                for key, items in singles.items()
+                for i, it in enumerate(items)
+            }
         for key, items in singles.items():
             s0 = items[0][1]
             row_order.extend(p for p, _, _, _ in items)

@@ -206,6 +206,9 @@ class KFACConfig:
     # supported conv geometries on TPU only; everything else falls back
     # to the XLA path.
     factor_impl: str = "xla"
+    # batch same-shape layers' factor GEMMs into stacked vmapped ops
+    # (BlockKFAC._fresh_bucket_factors); False = one GEMM per layer
+    factor_batch: bool = True
 
     @property
     def _factor_dtype(self):
