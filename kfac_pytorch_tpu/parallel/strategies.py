@@ -364,41 +364,90 @@ class BlockKFAC:
     def _fresh_bucket_factors(self, bucket: Bucket, acts, gs):
         """Stacked fresh factors [L, da, da]/[L, dg, dg].
 
-        Trace-time batching: single rows sharing layer geometry and input
-        shapes compute their factor GEMMs as ONE stacked vmapped op each for
-        A and G (per-layer factor GEMMs on a 50-conv net are ~100 small
-        dispatches; batched they are a handful of MXU ops). Outputs are
-        emitted in group order and restored to bucket row order with one
-        static-permutation gather. Grouped-conv modules keep their vmapped
-        per-group path; rows whose A factor dispatches to the fused Pallas
-        patch-cov kernel stay per-row (no batching rule), but their G
-        factors still batch."""
+        Trace-time batching: CONSECUTIVE single rows sharing layer geometry
+        and input shapes compute their factor GEMMs as one stacked vmapped
+        op each for A and G. Consecutive-run grouping (make_buckets already
+        sorts rows by shape key) keeps outputs in row order — no permutation
+        gather, no extra factor-sized copies. Batching is traffic-gated:
+        the input jnp.stack is a real HBM copy, so runs whose per-row
+        activations are large skip it (measured on RN50 bs32/224: blanket
+        batching cost ~6 ms/step in stack/gather copies — the per-op
+        overhead it saves only wins for small inputs). Grouped-conv modules
+        keep their vmapped per-group path; rows whose A factor dispatches
+        to the fused Pallas patch-cov kernel stay per-row (no batching
+        rule)."""
         prec = self.config.precision
         fdt = self.config._factor_dtype
+        cfg = self.config
         a_list, g_list = [], []
-        row_order: List[int] = []  # bucket-row index of each emitted row
-        singles: Dict[tuple, list] = {}
-        pos = 0
+        run: List[tuple] = []  # consecutive (spec, a, g) with equal keys
+        run_key = None
+
+        def emit_per_row(items, a_impl):
+            for s, a, g in items:
+                a_list.append(
+                    _embed_eye(
+                        compute_factor_a(s, a, prec, fdt, a_impl), bucket.da
+                    )[None]
+                )
+                g_list.append(
+                    _embed_eye(
+                        compute_factor_g(s, g, prec, fdt), bucket.dg
+                    )[None]
+                )
+
+        def flush():
+            nonlocal run, run_key
+            if not run:
+                return
+            items, run, run_key = run, [], None
+            s0, a0, g0 = items[0]
+            a_impl = cfg.factor_impl
+            if s0.kind == CONV:
+                a_shape = list(a0.shape)
+                if s0.n_groups > 1:
+                    a_shape[-1] //= s0.n_groups
+                a_impl = fops.resolve_a_conv_impl(
+                    tuple(a_shape), s0.kernel_size, s0.strides, s0.padding,
+                    a_impl,
+                )
+            batchable = (
+                cfg.factor_batch
+                and len(items) > 1
+                and a_impl not in ("pallas", "taps")
+                and a0.nbytes + g0.nbytes <= cfg.factor_batch_max_bytes
+            )
+            if not batchable:
+                emit_per_row(items, a_impl)
+                return
+            fa = jax.vmap(
+                lambda ax: compute_factor_a(s0, ax, prec, fdt, a_impl)
+            )(jnp.stack([a for _, a, _ in items]))
+            fg = jax.vmap(
+                lambda gx: compute_factor_g(s0, gx, prec, fdt)
+            )(jnp.stack([g for _, _, g in items]))
+            a_list.append(_embed_eye_batched(fa, bucket.da))
+            g_list.append(_embed_eye_batched(fg, bucket.dg))
+
         for kind, payload in self._iter_row_blocks(bucket):
-            if kind == "pad":
-                eye_a = jnp.broadcast_to(
-                    jnp.eye(bucket.da), (payload, bucket.da, bucket.da)
-                )
-                eye_g = jnp.broadcast_to(
-                    jnp.eye(bucket.dg), (payload, bucket.dg, bucket.dg)
-                )
-                a_list.append(eye_a)
-                g_list.append(eye_g)
-                row_order.extend(range(pos, pos + payload))
-                pos += payload
-            elif kind == "single":
+            if kind == "single":
                 spec = payload
                 a = _get_path(acts, spec.path)["a"]
                 g = _get_path(gs, spec.path)["p"]
-                singles.setdefault(
-                    self._factor_batch_key(spec, a, g), []
-                ).append((pos, spec, a, g))
-                pos += 1
+                key = self._factor_batch_key(spec, a, g)
+                if run and key != run_key:
+                    flush()
+                run.append((spec, a, g))
+                run_key = key
+                continue
+            flush()
+            if kind == "pad":
+                a_list.append(jnp.broadcast_to(
+                    jnp.eye(bucket.da), (payload, bucket.da, bucket.da)
+                ))
+                g_list.append(jnp.broadcast_to(
+                    jnp.eye(bucket.dg), (payload, bucket.dg, bucket.dg)
+                ))
             else:  # grouped module: vmap over the group axis
                 specs = payload
                 s0 = specs[0]
@@ -426,62 +475,9 @@ class BlockKFAC:
                 )(g_g)
                 a_list.append(_embed_eye_batched(fa, bucket.da))
                 g_list.append(_embed_eye_batched(fg, bucket.dg))
-                row_order.extend(range(pos, pos + ng))
-                pos += ng
-
-        impl = self.config.factor_impl
-        if not self.config.factor_batch:  # per-layer GEMMs (A/B toggle)
-            singles = {
-                (key, i): [it]
-                for key, items in singles.items()
-                for i, it in enumerate(items)
-            }
-        for key, items in singles.items():
-            s0 = items[0][1]
-            row_order.extend(p for p, _, _, _ in items)
-            a_impl = impl
-            if s0.kind == CONV:
-                a_shape = list(items[0][2].shape)
-                if s0.n_groups > 1:
-                    a_shape[-1] //= s0.n_groups
-                a_impl = fops.resolve_a_conv_impl(
-                    tuple(a_shape), s0.kernel_size, s0.strides, s0.padding,
-                    impl,
-                )
-            if len(items) == 1 or a_impl in ("pallas", "taps"):
-                # fused-kernel rows: per-row A (the Pallas call has no
-                # batching rule) — still one call per layer, not per chunk
-                fa_rows = [
-                    _embed_eye(
-                        compute_factor_a(s, a, prec, fdt, a_impl), bucket.da
-                    )[None]
-                    for _, s, a, _ in items
-                ]
-                a_list.extend(fa_rows)
-            else:
-                fa = jax.vmap(
-                    lambda ax: compute_factor_a(s0, ax, prec, fdt, a_impl)
-                )(jnp.stack([a for _, _, a, _ in items]))
-                a_list.append(_embed_eye_batched(fa, bucket.da))
-            if len(items) == 1:
-                g_list.append(
-                    _embed_eye(
-                        compute_factor_g(s0, items[0][3], prec, fdt),
-                        bucket.dg,
-                    )[None]
-                )
-            else:
-                fg = jax.vmap(
-                    lambda gx: compute_factor_g(s0, gx, prec, fdt)
-                )(jnp.stack([g for _, _, _, g in items]))
-                g_list.append(_embed_eye_batched(fg, bucket.dg))
-
+        flush()
         fa_all = jnp.concatenate(a_list) if len(a_list) > 1 else a_list[0]
         fg_all = jnp.concatenate(g_list) if len(g_list) > 1 else g_list[0]
-        if row_order != sorted(row_order):
-            perm = np.argsort(np.asarray(row_order))
-            fa_all = jnp.take(fa_all, perm, axis=0)
-            fg_all = jnp.take(fg_all, perm, axis=0)
         return fa_all, fg_all
 
     # ------------------------------------------------- stack / unstack

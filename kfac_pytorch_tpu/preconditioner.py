@@ -206,9 +206,14 @@ class KFACConfig:
     # supported conv geometries on TPU only; everything else falls back
     # to the XLA path.
     factor_impl: str = "xla"
-    # batch same-shape layers' factor GEMMs into stacked vmapped ops
-    # (BlockKFAC._fresh_bucket_factors); False = one GEMM per layer
+    # batch consecutive same-shape layers' factor GEMMs into stacked
+    # vmapped ops (BlockKFAC._fresh_bucket_factors); False = one GEMM per
+    # layer. The input stack is a real HBM copy, so only runs whose per-row
+    # activation+cotangent bytes fit under factor_batch_max_bytes batch
+    # (measured RN50 bs32/224: batching the big early-stage activations
+    # cost ~6 ms/step in copies; small late-stage/dense ops win)
     factor_batch: bool = True
+    factor_batch_max_bytes: int = 4_000_000
 
     @property
     def _factor_dtype(self):
