@@ -28,6 +28,15 @@ import jax.numpy as jnp
 from kfac_pytorch_tpu.ops import linalg as lops
 
 
+def _masked_diag_mean(m: jax.Array, real_d) -> jax.Array:
+    """Mean of the first ``real_d`` diagonal entries of each (d, d) block —
+    the identity-padding-exact form of trace(real block)/real_d."""
+    diag = jnp.diagonal(m, axis1=-2, axis2=-1)
+    idx = jnp.arange(m.shape[-1])
+    mask = idx < jnp.asarray(real_d)[..., None]
+    return jnp.sum(jnp.where(mask, diag, 0.0), axis=-1) / real_d
+
+
 def damped_cholesky_factors(
     a: jax.Array, g: jax.Array, damping, real_da=None, real_dg=None,
     dtype=None,
@@ -50,8 +59,19 @@ def damped_cholesky_factors(
         tr_a = jnp.trace(a, axis1=-2, axis2=-1) / da
         tr_g = jnp.trace(g, axis1=-2, axis2=-1) / dg
     else:
-        tr_a = (jnp.trace(a, axis1=-2, axis2=-1) - (da - real_da)) / real_da
-        tr_g = (jnp.trace(g, axis1=-2, axis2=-1) - (dg - real_dg)) / real_dg
+        # real-block trace via a masked diagonal sum — NOT trace(padded) -
+        # pad_count: the f32 factor EMA drifts pad-diagonal entries off
+        # exactly 1.0 (0.95 + 0.05 != 1 in f32), and with merged buckets
+        # (pad counts in the thousands) that correction noise swamps a
+        # near-converged factor's tiny real trace and drives it NEGATIVE
+        # -> sqrt -> NaN at the preconditioner refresh (the merge-NaN
+        # root cause, BENCH_NOTES round 2)
+        tr_a = _masked_diag_mean(a, real_da)
+        tr_g = _masked_diag_mean(g, real_dg)
+    # eps floor: a genuinely zero-curvature factor (e.g. loss memorized to
+    # ~0 on a fixed benchmark batch) must damp heavily, not divide by zero
+    tr_a = jnp.maximum(tr_a, 1e-10)
+    tr_g = jnp.maximum(tr_g, 1e-10)
     pi = jnp.sqrt(tr_a / tr_g)
     sd = jnp.sqrt(damping)
     s_a = sd * pi

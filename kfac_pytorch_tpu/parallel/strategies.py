@@ -868,19 +868,21 @@ class BlockKFAC:
             else:
 
                 def inv_all():
+                    from kfac_pytorch_tpu.ops.pcg import _masked_diag_mean
+
                     outs = []
                     for b_idx, e in enumerate(entries):
                         b = self.buckets[b_idx]
-                        # pi from the *real* traces (identity padding adds
-                        # (dim - real) to the raw trace; correct it).
-                        tr_a = (
-                            jnp.trace(e["A"], axis1=-2, axis2=-1)
-                            - (b.da - real_da[b_idx])
-                        ) / real_da[b_idx]
-                        tr_g = (
-                            jnp.trace(e["G"], axis1=-2, axis2=-1)
-                            - (b.dg - real_dg[b_idx])
-                        ) / real_dg[b_idx]
+                        # pi from the *real* traces via masked diagonal
+                        # sums (exact under identity padding; see
+                        # pcg.damped_cholesky_factors for why the
+                        # subtract-pad-count form NaNs on merged buckets)
+                        tr_a = jnp.maximum(
+                            _masked_diag_mean(e["A"], real_da[b_idx]), 1e-10
+                        )
+                        tr_g = jnp.maximum(
+                            _masked_diag_mean(e["G"], real_dg[b_idx]), 1e-10
+                        )
                         pi = jnp.sqrt(tr_a / tr_g)
                         sd = jnp.sqrt(damping)
                         inv_a = lops.cholesky_inverse(
