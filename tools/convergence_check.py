@@ -93,7 +93,7 @@ def make_dataset(n, classes, seed, margin_frac=0.5):
 
 
 def run_arm(variant, x, y, xv, yv, steps, batch, lr, damping, seed,
-            eval_every=0, tinv=1, tcov=1):
+            eval_every=0, tinv=1, tcov=1, pcg_iters=None):
     model = get_model("resnet20", num_classes=10)
     sample = jnp.asarray(x[:batch])
     variables = model.init(jax.random.PRNGKey(seed), sample, train=True)
@@ -124,7 +124,8 @@ def run_arm(variant, x, y, xv, yv, steps, batch, lr, damping, seed,
                 specs,
                 KFACConfig(
                     inv_type="pcg", strategy="dp", damping=damping,
-                    pcg_iters=3 if warm else 5, pcg_warm_start=warm,
+                    pcg_iters=pcg_iters or (3 if warm else 5),
+                    pcg_warm_start=warm,
                     fac_update_freq=tcov, kfac_update_freq=tinv,
                 ),
             )
@@ -227,6 +228,9 @@ def main(argv=None):
                    help="kfac_update_freq for the K-FAC arms")
     p.add_argument("--tcov", type=int, default=1,
                    help="fac_update_freq for the K-FAC arms")
+    p.add_argument("--pcg-iters", type=int, default=None,
+                   help="override CG iteration count for the pcg_warm_dp "
+                        "(default 3) / pcg_cold_dp (default 5) arms")
     p.add_argument("--margin-frac", type=float, default=0.5,
                    help="keep this fraction of generated samples, by "
                         "teacher-label confidence (1.0 = no filtering)")
@@ -248,7 +252,7 @@ def main(argv=None):
         results[v] = run_arm(
             v, x, y, xv, yv, args.steps, args.batch, args.lr, args.damping,
             args.seed, eval_every=args.eval_every,
-            tinv=args.tinv, tcov=args.tcov,
+            tinv=args.tinv, tcov=args.tcov, pcg_iters=args.pcg_iters,
         )
         print(v, json.dumps(results[v]))
     if "sgd" in results and "eigen_dp" in results:
