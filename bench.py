@@ -111,7 +111,11 @@ def _build(model_name, batch, image, num_classes):
             # cold 5-iteration accuracy (tests/test_pcg.py warm-start
             # tests; convergence arms pcg_warm_dp/pcg_cold_dp) at 40%
             # fewer CG matmuls — measured 2.40x vs 2.60x on-chip.
-            pcg_iters=_env_i("KFB_ITERS", 3),
+            # warm-2: convergence-validated at 2000 steps (val_acc 0.639
+            # vs warm-3 0.613 / cold-5 0.603 / sgd 0.497, bench_queue4) —
+            # on the momentum-correlated gradient walk two warm iterations
+            # keep trajectory quality at 33% fewer CG matmuls
+            pcg_iters=_env_i("KFB_ITERS", 2),
             pcg_precond_freq=_env_i("KFB_PREC_FREQ", 10),
             # 'auto' = fused 3-matmul CG (exact eigen update of the
             # prec_freq-stale factors = reference TInv=prec_freq);
@@ -152,8 +156,14 @@ def _build(model_name, batch, image, num_classes):
         # cost-model bucket merging is opt-in: measured on-chip, merged
         # buckets LOST (94ms vs 75ms — the padded big-block matmuls are
         # HBM-bound, which a pure-FLOP model underestimates)
-        merge_flop_rate=_env_f("KFB_MERGE_RATE", 0.0),
-        merge_dispatch_cost=_env_f("KFB_MERGE_COST", 0.0),
+        # cost-model bucket merging ON by default (21 -> 17 buckets with
+        # the constants measured on this chip): with warm-2 CG the merged
+        # padding FLOPs are cheaper than the per-bucket fixed costs —
+        # measured 1.96x vs 2.09x unmerged (bench_queue3). The round-2
+        # merge NaN (pad-drift in the pi trace correction) is fixed at
+        # the root (ops/pcg._masked_diag_mean); KFB_MERGE_RATE=0 disables.
+        merge_flop_rate=_env_f("KFB_MERGE_RATE", 2.0e14),
+        merge_dispatch_cost=_env_f("KFB_MERGE_COST", 3.0e-5),
         merge_hbm_rate=_env_f("KFB_MERGE_HBM", 8.0e11),
     )
     print(f"# kfac buckets: {len(kfac.buckets)}", file=sys.stderr)
