@@ -244,7 +244,16 @@ def pcg_kron_solve(
     # barriers; unrolling lets XLA fuse and pipeline across iterations
     for _ in range(iters):
         denom = dot(p, op_p)
-        alpha = rz / jnp.where(jnp.abs(denom) < 1e-30, 1.0, denom)
+        # SIGN-AWARE guards: for the SPD system both denom = <p, op p> and
+        # rz = <r, prec r> are positive in exact arithmetic; a zero or
+        # NEGATIVE value is pure floating-point noise on a (near-)converged
+        # or degenerate layer. Freeze that layer's iteration (alpha = beta
+        # = 0 keeps x, and p resets toward z) instead of stepping along a
+        # noise direction — a negative alpha passed through the old
+        # magnitude-only guard amplifies exponentially across the unrolled
+        # iterations.
+        ok_d = denom > 1e-30
+        alpha = jnp.where(ok_d, rz / jnp.where(ok_d, denom, 1.0), 0.0)
         x = x + alpha * p
         if gxa is not None:
             # G' p A' = op(p) - damping p: the recurrence gives the
@@ -253,7 +262,8 @@ def pcg_kron_solve(
         r = r - alpha * op_p
         z, op_z = prec_and_op(r)
         rz_new = dot(r, z)
-        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1.0, rz)
+        ok_r = rz > 1e-30
+        beta = jnp.where(ok_r, rz_new / jnp.where(ok_r, rz, 1.0), 0.0)
         p = z + beta * p
         op_p = op_z + beta * op_p  # CG recurrence: no operator matmuls
         rz = rz_new
