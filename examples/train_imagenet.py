@@ -87,7 +87,15 @@ def parse_args(argv=None):
     p.add_argument("--exclude-parts", default="")
     # distribution
     p.add_argument("--n-devices", type=int, default=None,
-                   help="use the sharded mesh path over N devices")
+                   help="use the sharded mesh path over N devices "
+                        "(POD-GLOBAL device count under --num-processes)")
+    p.add_argument("--coordinator", default=os.environ.get("KFB_COORDINATOR"),
+                   help="jax.distributed coordinator host:port (multi-host "
+                        "pods; the reference's mpirun/ssh hostfile role)")
+    p.add_argument("--num-processes", type=int,
+                   default=int(os.environ.get("KFB_NUM_PROCESSES", "1")))
+    p.add_argument("--process-id", type=int,
+                   default=int(os.environ.get("KFB_PROCESS_ID", "0")))
     # harness
     p.add_argument("--data-path", default=None)
     p.add_argument("--synthetic", action="store_true")
@@ -131,7 +139,15 @@ def main(argv=None):
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    n_dev = args.n_devices or 1
+    multihost = args.num_processes > 1
+    if multihost:
+        # every host runs this same script; jax.distributed wires the pod
+        # (the reference's mpirun/ssh + hostfile role, launch_torch.sh)
+        from kfac_pytorch_tpu.parallel.multihost import init_multihost
+
+        init_multihost(args.coordinator, args.num_processes,
+                       args.process_id)
+    n_dev = args.n_devices or (jax.device_count() if multihost else 1)
     mesh = meshlib.make_mesh(n_dev) if n_dev > 1 else None
     n_accum = max(args.batches_per_allreduce, 1)
     # one *effective* step consumes micro_bs x n_accum rows per device
@@ -258,9 +274,25 @@ def main(argv=None):
         for i in range(steps_per_epoch):
             idx = perm[i * global_bs : (i + 1) * global_bs]
             timers.start("io")
-            batch = (jnp.asarray(x_train[idx]), jnp.asarray(y_train[idx]))
-            if mesh is not None:
-                batch = meshlib.shard_batch(mesh, batch)
+            if multihost:
+                # each process feeds only its addressable slice of the
+                # global batch; assembly into one pod-global array is
+                # jax.make_array_from_process_local_data's job
+                from kfac_pytorch_tpu.parallel.multihost import (
+                    local_batch_slice, make_global_batch,
+                )
+
+                s0, sz = local_batch_slice(len(idx))
+                loc = idx[s0 : s0 + sz]
+                batch = make_global_batch(
+                    mesh,
+                    (jnp.asarray(x_train[loc]), jnp.asarray(y_train[loc])),
+                )
+            else:
+                batch = (jnp.asarray(x_train[idx]),
+                         jnp.asarray(y_train[idx]))
+                if mesh is not None:
+                    batch = meshlib.shard_batch(mesh, batch)
             timers.stop("io", batch[0])
             scalars = KFACScalars.create(
                 lr=lr_fn(global_step), damping=hypers.damping,
@@ -306,6 +338,8 @@ def main(argv=None):
         ckpt_mgr.close()
     if args.speed:
         log.info("timer summary: %s", timers.summary())
+    if multihost:
+        jax.distributed.shutdown()
     return state
 
 

@@ -173,3 +173,42 @@ def test_two_process_distributed_matches_single_process(tmp_path):
     np.testing.assert_allclose(losses_2proc, losses_1proc, rtol=2e-4,
                                atol=1e-5)
     assert losses_2proc[-1] < losses_2proc[0]
+
+
+def test_two_process_imagenet_harness_cli(tmp_path):
+    """The HARNESS-level multihost path (train_imagenet --num-processes /
+    --coordinator + per-process local batch feeding via
+    make_global_batch): two localhost CPU processes, 4 simulated devices
+    each, global 8-device mesh, 2 synthetic steps — both processes must
+    exit cleanly and log the epoch metrics."""
+    port = _free_port()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(repo, "examples", "train_imagenet.py")
+    procs = []
+    for pid in range(2):
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=4",
+            PYTHONPATH=repo,
+        )
+        env.pop("PYTEST_CURRENT_TEST", None)
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable, script,
+                    "--model", "resnet20", "--synthetic",
+                    "--image-size", "32", "--num-classes", "10",
+                    "--batch-size", "2", "--iters", "2", "--epochs", "1",
+                    "--n-devices", "8",
+                    "--coordinator", f"127.0.0.1:{port}",
+                    "--num-processes", "2", "--process-id", str(pid),
+                ],
+                env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT, text=True,
+            )
+        )
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"harness worker failed:\n{out}"
+    assert any("epoch 0:" in out for out in outs)
