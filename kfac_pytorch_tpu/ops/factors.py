@@ -33,12 +33,93 @@ Reference numerics preserved exactly (for matched orderings):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 
 PadPairs = Tuple[Tuple[int, int], Tuple[int, int]]
+
+# Symmetric block-triangular Gram threshold: covariance GEMMs whose flop
+# count (2*rows*d^2) exceeds this AND whose d >= 1024 compute only the
+# upper-triangular blocks of v^T v and mirror (25-37.5% flop cut on the
+# RN50-class 3x3-conv A factors, d in {2304, 4608}, which the measured
+# 'auto' factor dispatch routes to this XLA path). XLA has no symmetric
+# GEMM rewrite of its own.
+#
+# DEFAULT OFF (inf): measured on-chip it LOSES — RN50 bs32/224 headline
+# 2.21x with the sym Gram at 1e10 vs 2.13x with the single full GEMM
+# (same-session A/B, bench_symgram.out). The single dot_general lets XLA
+# fuse extract_patches INTO the GEMM (the im2col matrix never hits HBM);
+# k(k+1)/2 chunked GEMMs each read a column slice of v, so v materializes
+# (29-58 MB per big conv layer) — the added HBM traffic and dispatches
+# outweigh the flop cut. Set KFB_SYM_GRAM_FLOPS to a finite threshold to
+# re-enable (it is exact; tests force it on for parity).
+_SYM_GRAM_MIN_FLOPS = float(os.environ.get("KFB_SYM_GRAM_FLOPS", "inf"))
+
+
+def _sym_gram_k(rows: int, d: int) -> int:
+    """Number of column chunks for the block-triangular Gram (0 = single
+    full GEMM). k=2 saves 25% of the Gram flops, k=4 saves 37.5%; beyond
+    that the extra dispatches/transposes eat the saving (measured)."""
+    if _SYM_GRAM_MIN_FLOPS <= 0 or d < 1024:
+        return 0
+    if 2.0 * rows * d * d < _SYM_GRAM_MIN_FLOPS:
+        return 0
+    return 2 if d <= 2560 else 4
+
+
+def _gram(v: jax.Array, precision, sym_k: int = None) -> jax.Array:
+    """v^T v with fp32 accumulation; block-triangular when profitable.
+
+    The reference computes every factor Gram as one full GEMM
+    (cuBLAS gemm_ex, /root/reference/packages/tcmm; kfac/utils.py:86-94).
+    A Gram is symmetric, so only the upper blocks need computing: split
+    the d columns into k lane-aligned chunks, GEMM the k(k+1)/2 upper
+    block pairs, and mirror the strict-lower blocks by transposition.
+    """
+    rows, d = v.shape
+    k = _sym_gram_k(rows, d) if sym_k is None else sym_k
+    if k < 2:
+        return jax.lax.dot_general(
+            v, v,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=precision,
+            preferred_element_type=jnp.float32,
+        )
+    chunk = -(-d // k)
+    chunk = -(-chunk // 128) * 128  # lane-aligned chunk edges
+    bounds = [min(i * chunk, d) for i in range(k + 1)]
+    cols = [
+        jax.lax.slice_in_dim(v, bounds[i], bounds[i + 1], axis=1)
+        for i in range(k)
+        if bounds[i] < bounds[i + 1]
+    ]
+    k = len(cols)
+    blocks = {}
+    for i in range(k):
+        for j in range(i, k):
+            blocks[(i, j)] = jax.lax.dot_general(
+                cols[i], cols[j],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                precision=precision,
+                preferred_element_type=jnp.float32,
+            )
+    return jnp.concatenate(
+        [
+            jnp.concatenate(
+                [
+                    blocks[(i, j)] if i <= j
+                    else jnp.swapaxes(blocks[(j, i)], -1, -2)
+                    for j in range(k)
+                ],
+                axis=1,
+            )
+            for i in range(k)
+        ],
+        axis=0,
+    )
 
 
 def resolve_conv_padding(
@@ -127,12 +208,7 @@ def _cov_with_bias(
     identical to concat+divide+GEMM but saves two full passes over v (v can
     be conv patches ~10x the activation size)."""
     v = v.astype(dtype)
-    pp = jax.lax.dot_general(
-        v, v,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        precision=precision,
-        preferred_element_type=jnp.float32,
-    ) * scale
+    pp = _gram(v, precision) * scale
     if not has_bias:
         return pp
     col = jnp.sum(v, axis=0, dtype=jnp.float32) * (scale * ones_val)

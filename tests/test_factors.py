@@ -137,3 +137,49 @@ def test_ema_update():
     np.testing.assert_allclose(
         np.asarray(out2), 0.95 * np.ones((3, 3)) + 0.05 * np.eye(3)
     )
+
+
+@pytest.mark.parametrize("d,k", [(1152, 2), (1280, 4), (1100, 2), (1024, 3)])
+def test_sym_gram_matches_full(d, k):
+    """Block-triangular Gram == single-GEMM Gram (incl. uneven last chunk)."""
+    rng = np.random.RandomState(7)
+    v = jnp.asarray(rng.randn(37, d).astype(np.float32))
+    full = np.asarray(F._gram(v, None, sym_k=0))
+    sym = np.asarray(F._gram(v, None, sym_k=k))
+    np.testing.assert_allclose(sym, full, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(sym, sym.T, rtol=0, atol=0)
+
+
+def test_sym_gram_auto_gate():
+    """Gate fires only on big-d, big-flop Grams (when enabled); the
+    measured default is DISABLED (single-GEMM Gram fuses patch extraction,
+    sym chunking loses — see factors._SYM_GRAM_MIN_FLOPS)."""
+    assert F._SYM_GRAM_MIN_FLOPS == float("inf")
+    assert F._sym_gram_k(6272, 2304) == 0       # disabled at default
+    orig = F._SYM_GRAM_MIN_FLOPS
+    F._SYM_GRAM_MIN_FLOPS = 1.0e10
+    try:
+        assert F._sym_gram_k(32, 512) == 0      # small d
+        assert F._sym_gram_k(8, 4608) == 0      # big d, tiny rows
+        assert F._sym_gram_k(6272, 2304) == 2   # RN50 c256 3x3 A factor
+        assert F._sym_gram_k(1568, 4608) == 4   # RN50 c512 3x3 A factor
+    finally:
+        F._SYM_GRAM_MIN_FLOPS = orig
+
+
+def test_cov_with_bias_sym_path():
+    """compute_a_conv through the forced sym path == default, bias incl."""
+    rng = np.random.RandomState(8)
+    a = jnp.asarray(rng.randn(2, 6, 6, 128).astype(np.float32))
+    want = np.asarray(
+        F.compute_a_conv(a, (3, 3), (1, 1), ((1, 1), (1, 1)), True)
+    )
+    orig = F._SYM_GRAM_MIN_FLOPS
+    F._SYM_GRAM_MIN_FLOPS = 1.0  # force the sym path (d=1152 >= 1024)
+    try:
+        got = np.asarray(
+            F.compute_a_conv(a, (3, 3), (1, 1), ((1, 1), (1, 1)), True)
+        )
+    finally:
+        F._SYM_GRAM_MIN_FLOPS = orig
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

@@ -93,7 +93,7 @@ def make_dataset(n, classes, seed, margin_frac=0.5):
 
 
 def run_arm(variant, x, y, xv, yv, steps, batch, lr, damping, seed,
-            eval_every=0, tinv=1, tcov=1, pcg_iters=None):
+            eval_every=0, tinv=1, tcov=1, pcg_iters=None, prec_freq=None):
     model = get_model("resnet20", num_classes=10)
     sample = jnp.asarray(x[:batch])
     variables = model.init(jax.random.PRNGKey(seed), sample, train=True)
@@ -127,6 +127,11 @@ def run_arm(variant, x, y, xv, yv, steps, batch, lr, damping, seed,
                     pcg_iters=pcg_iters or (3 if warm else 5),
                     pcg_warm_start=warm,
                     fac_update_freq=tcov, kfac_update_freq=tinv,
+                    **(
+                        {"pcg_precond_freq": prec_freq}
+                        if prec_freq is not None
+                        else {}
+                    ),
                 ),
             )
         else:
@@ -231,6 +236,10 @@ def main(argv=None):
     p.add_argument("--pcg-iters", type=int, default=None,
                    help="override CG iteration count for the pcg_warm_dp "
                         "(default 3) / pcg_cold_dp (default 5) arms")
+    p.add_argument("--prec-freq", type=int, default=None,
+                   help="override pcg_precond_freq for the pcg arms (the "
+                        "fused CG's stale-solve refresh period; default "
+                        "KFACConfig.pcg_precond_freq)")
     p.add_argument("--margin-frac", type=float, default=0.5,
                    help="keep this fraction of generated samples, by "
                         "teacher-label confidence (1.0 = no filtering)")
@@ -253,6 +262,7 @@ def main(argv=None):
             v, x, y, xv, yv, args.steps, args.batch, args.lr, args.damping,
             args.seed, eval_every=args.eval_every,
             tinv=args.tinv, tcov=args.tcov, pcg_iters=args.pcg_iters,
+            prec_freq=args.prec_freq,
         )
         print(v, json.dumps(results[v]))
     if "sgd" in results and "eigen_dp" in results:
