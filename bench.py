@@ -215,8 +215,12 @@ def _time_chained(raw_step, state, batch, scalars, k_hi=8, k_lo=1):
 
     run(k_lo)  # compile both programs + warm caches
     run(k_hi)
-    t_lo = min(run(k_lo) for _ in range(2))
-    t_hi = min(run(k_hi) for _ in range(2))
+    # min-of-3: the shared tunnel adds seconds-scale fetch jitter; the
+    # chained (T(k_hi)-T(k_lo)) subtraction cancels the mean overhead but
+    # not its variance — measured headline band was ~0.18x across driver
+    # runs at min-of-2 (BENCH_NOTES round 2)
+    t_lo = min(run(k_lo) for _ in range(3))
+    t_hi = min(run(k_hi) for _ in range(3))
     return max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
 
 
