@@ -5,7 +5,8 @@ Transformer with K-FAC over all attention/FFN dense layers (vocab
 projection excluded — reference passes exclude_vocabulary_size=trg_vocab,
 :297), SGD+KFAC vs Adam control arm (--optimizer adam disables K-FAC like
 the reference's control), label-smoothed token CE ignoring padding, and
-greedy-decode token accuracy as the quality proxy.
+beam-search (beam=5, like the reference's Translator.py) BLEU each epoch
+under --eval-bleu.
 
 Data: --data-path npz with (src_train, trg_train, ...) int32 token arrays,
 or --synthetic copy-task data (default; the model must learn to copy a
@@ -29,7 +30,8 @@ import optax
 
 import kfac_pytorch_tpu as ktpu
 from kfac_pytorch_tpu.models import Transformer
-from kfac_pytorch_tpu.models.translator import corpus_bleu, greedy_decode
+from kfac_pytorch_tpu.models.translator import (
+    beam_search_decode, corpus_bleu, greedy_decode)
 from kfac_pytorch_tpu.preconditioner import KFACConfig, KFACHypers, KFACParamScheduler
 from kfac_pytorch_tpu.training.loop import KFACScalars, TrainState, make_train_step
 from kfac_pytorch_tpu.utils import lr_schedules
@@ -69,7 +71,10 @@ def parse_args(argv=None):
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--iters", type=int, default=None)
     p.add_argument("--eval-bleu", action="store_true",
-                   help="greedy-decode BLEU on the test split each epoch")
+                   help="beam-search BLEU on the test split each epoch "
+                        "(reference Translator.py beam=5)")
+    p.add_argument("--beam-size", type=int, default=5,
+                   help="eval beam width; 1 = greedy decode")
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args(argv)
 
@@ -190,14 +195,24 @@ def main(argv=None):
                 break
         if args.eval_bleu:
             n_eval = min(len(src_te), 4 * bs)
-            hyps = greedy_decode(
-                model, state.params, jnp.asarray(src_te[:n_eval]),
-                bos=2, eos=3, pad=PAD, max_len=args.seq_len + 2,
-            )
+            src_eval = jnp.asarray(src_te[:n_eval])
+            if args.beam_size > 1:
+                # the reference evaluates BLEU through a beam=5 search
+                # (/root/reference/examples/transformer/Translator.py)
+                hyps = beam_search_decode(
+                    model, state.params, src_eval, bos=2, eos=3, pad=PAD,
+                    beam_size=args.beam_size, max_len=args.seq_len + 2,
+                )
+            else:
+                hyps = greedy_decode(
+                    model, state.params, src_eval,
+                    bos=2, eos=3, pad=PAD, max_len=args.seq_len + 2,
+                )
             bleu = corpus_bleu(
                 np.asarray(hyps)[:, 1:], trg_te[:n_eval, 1:], pad=PAD, eos=3
             )
-            log.info("epoch %d: BLEU %.4f", epoch, bleu)
+            log.info("epoch %d: BLEU %.4f (beam=%d)",
+                     epoch, bleu, args.beam_size)
         log.info("epoch %d: train loss %.4f token-acc %.4f | lr %.5f",
                  epoch, ep_loss.avg, ep_acc.avg, float(lr_fn(global_step)))
         if args.iters and global_step >= args.iters:

@@ -59,6 +59,10 @@ def parse_args(argv=None):
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--iters", type=int, default=None)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--eval-frac", type=float, default=0.25,
+                   help="held-out fraction scored with SQuAD F1/EM each "
+                        "epoch (reference pytorch_squad_bert.py:615-648)")
+    p.add_argument("--max-answer-len", type=int, default=30)
     return p.parse_args(argv)
 
 
@@ -110,7 +114,11 @@ def main(argv=None):
                         format="%(asctime)s %(name)s %(message)s")
     module, config = build_model(args.model_size)
     data = load_data(args)
-    n = len(data["input_ids"])
+    n_total = len(data["input_ids"])
+    n_val = int(n_total * args.eval_frac)
+    n = max(n_total - n_val, 1)
+    val_data = {k: v[n:] for k, v in data.items()} if n_val else None
+    data = {k: v[:n] for k, v in data.items()}
     bs = args.batch_size
 
     rng = np.random.RandomState(args.seed)
@@ -210,6 +218,45 @@ def main(argv=None):
         params = optax.apply_updates(params, updates)
         return params, opt_state, kfac_state, loss
 
+    @jax.jit
+    def eval_step(params, batch):
+        batch_args = (
+            batch["input_ids"], batch["attention_mask"],
+            batch["token_type_ids"],
+            jnp.broadcast_to(
+                jnp.arange(batch["input_ids"].shape[1]),
+                batch["input_ids"].shape,
+            ),
+            None,
+        )
+        out = module.apply({"params": params}, *batch_args,
+                           deterministic=True)
+        return out.start_logits, out.end_logits
+
+    def evaluate(params):
+        """SQuAD span F1 / exact-match over the held-out slice
+        (reference eval: pytorch_squad_bert.py:615-648)."""
+        from kfac_pytorch_tpu.utils.squad_metrics import (
+            best_spans, span_to_text, squad_evaluate)
+
+        preds, golds = [], []
+        nv = len(val_data["input_ids"])
+        for i in range(0, nv - nv % bs or nv, bs):
+            batch = {k: jnp.asarray(v[i : i + bs])
+                     for k, v in val_data.items()}
+            if len(batch["input_ids"]) < bs:
+                break
+            sl, el = jax.device_get(eval_step(params, batch))
+            ps, pe = best_spans(sl, el, args.max_answer_len,
+                                val_data["attention_mask"][i : i + bs])
+            ids = val_data["input_ids"][i : i + bs]
+            gs_ = val_data["start_positions"][i : i + bs]
+            ge_ = val_data["end_positions"][i : i + bs]
+            for j in range(len(ids)):
+                preds.append(span_to_text(ids[j], ps[j], pe[j]))
+                golds.append([span_to_text(ids[j], gs_[j], ge_[j])])
+        return squad_evaluate(preds, golds)
+
     hypers = KFACHypers(args.damping, args.kfac_cov_update_freq,
                         args.kfac_update_freq)
     steps_per_epoch = max(n // bs, 1)
@@ -233,7 +280,12 @@ def main(argv=None):
             global_step += 1
             if args.iters and global_step >= args.iters:
                 break
-        log.info("epoch %d: loss %.4f", epoch, ep_loss.avg)
+        if val_data is not None:
+            m = evaluate(params)
+            log.info("epoch %d: loss %.4f val_f1 %.2f val_em %.2f",
+                     epoch, ep_loss.avg, m["f1"], m["exact_match"])
+        else:
+            log.info("epoch %d: loss %.4f", epoch, ep_loss.avg)
         if args.iters and global_step >= args.iters:
             break
     return params

@@ -22,3 +22,22 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Build the native libs up front so the ctypes-backed tests (dataloader,
+# partition) can never silently skip on a fresh checkout. `make` is a no-op
+# when the .so files are current; a missing toolchain falls back to the old
+# skip behavior rather than failing the whole suite.
+import subprocess  # noqa: E402
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), os.pardir, "native")
+try:
+    subprocess.run(
+        ["make", "-C", _NATIVE_DIR],
+        check=True,
+        capture_output=True,
+        timeout=120,
+    )
+except (OSError, subprocess.SubprocessError) as e:  # pragma: no cover
+    import warnings
+
+    warnings.warn(f"native build failed ({e}); native tests will skip")
