@@ -276,13 +276,15 @@ class BlockKFAC:
 
     # ------------------------------------------------- row/run iteration
 
-    def _iter_row_blocks(self, bucket: Bucket):
-        """Yield (kind, payload) over bucket rows, coalescing all groups of
+    def _iter_row_blocks(self, rows: Tuple[int, ...]):
+        """Yield (kind, payload) over a row tuple, coalescing all groups of
         one grouped-conv module into a single block: ('pad', n) | ('single',
         spec) | ('grouped', [spec_g0..spec_gN-1]). Grouped rows of a module
-        are contiguous (make_buckets orders rows by shape key)."""
+        are contiguous (make_buckets orders rows by shape key); a PARTIAL
+        group run (e.g. a shard-boundary cut in owner-only mode) falls back
+        to per-row 'single' entries, which compute_factor_a/_g handle
+        correctly by slicing the group's channels."""
         i = 0
-        rows = bucket.rows
         while i < len(rows):
             r = rows[i]
             if r < 0:
@@ -324,7 +326,7 @@ class BlockKFAC:
         pos = 0
         run: List[LayerSpec] = []
         run_pos = 0
-        for kind, payload in self._iter_row_blocks(bucket):
+        for kind, payload in self._iter_row_blocks(bucket.rows):
             if kind == "single":
                 if run and self._param_shape_key(run[-1]) == self._param_shape_key(payload):
                     run.append(payload)
@@ -361,8 +363,12 @@ class BlockKFAC:
             spec.has_bias, spec.n_groups, spec.group_idx, a.shape, g.shape,
         )
 
-    def _fresh_bucket_factors(self, bucket: Bucket, acts, gs):
+    def _fresh_bucket_factors(self, bucket: Bucket, acts, gs,
+                              rows: Optional[Tuple[int, ...]] = None):
         """Stacked fresh factors [L, da, da]/[L, dg, dg].
+
+        ``rows``: compute only this static row subset (owner-only dp mode —
+        a device's own contiguous block); defaults to every bucket row.
 
         Trace-time batching: CONSECUTIVE single rows sharing layer geometry
         and input shapes compute their factor GEMMs as one stacked vmapped
@@ -429,7 +435,9 @@ class BlockKFAC:
             a_list.append(_embed_eye_batched(fa, bucket.da))
             g_list.append(_embed_eye_batched(fg, bucket.dg))
 
-        for kind, payload in self._iter_row_blocks(bucket):
+        for kind, payload in self._iter_row_blocks(
+            bucket.rows if rows is None else rows
+        ):
             if kind == "single":
                 spec = payload
                 a = _get_path(acts, spec.path)["a"]
@@ -730,17 +738,49 @@ class BlockKFAC:
             else:
                 # dp (or single-program): no factor collective — the whole
                 # compute sits under one cond (skipped at TCov steps).
+                owner_only = (
+                    axis is not None
+                    and n_shards > 1
+                    and cfg.owner_only_factors
+                )
+
                 def fac_update():
+                    if owner_only:
+                        # Each device computes ONLY its owned rows' factor
+                        # GEMMs: one lax.switch branch per shard, each with
+                        # a static contiguous row subset. This is the SPMD
+                        # form of the reference's rank-filtered hooks
+                        # (inv_dp.py:60-90) — per-device factor work is
+                        # 1/world_size, not full-compute + slice (which XLA
+                        # cannot DCE through a traced offset).
+                        def make_branch(shard):
+                            def branch():
+                                outs = []
+                                for b in self.buckets:
+                                    blk = b.n_rows // n_shards
+                                    sub = b.rows[shard * blk:(shard + 1) * blk]
+                                    outs.append(self._fresh_bucket_factors(
+                                        b, acts, gs, rows=sub))
+                                return outs
+                            return branch
+
+                        fresh = jax.lax.switch(
+                            idx, [make_branch(s) for s in range(n_shards)]
+                        )
+                    else:
+                        fresh = []
+                        for b_idx, b in enumerate(self.buckets):
+                            fa, fg = self._fresh_bucket_factors(b, acts, gs)
+                            if axis is not None:
+                                fa = jax.lax.dynamic_slice_in_dim(
+                                    fa, offsets[b_idx], blks[b_idx]
+                                )
+                                fg = jax.lax.dynamic_slice_in_dim(
+                                    fg, offsets[b_idx], blks[b_idx]
+                                )
+                            fresh.append((fa, fg))
                     outs = []
-                    for b_idx, b in enumerate(self.buckets):
-                        fa, fg = self._fresh_bucket_factors(b, acts, gs)
-                        if axis is not None:
-                            fa = jax.lax.dynamic_slice_in_dim(
-                                fa, offsets[b_idx], blks[b_idx]
-                            )
-                            fg = jax.lax.dynamic_slice_in_dim(
-                                fg, offsets[b_idx], blks[b_idx]
-                            )
+                    for b_idx, (fa, fg) in enumerate(fresh):
                         st = state["buckets"][b_idx]
                         outs.append(
                             (

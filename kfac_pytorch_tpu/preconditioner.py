@@ -169,6 +169,15 @@ class KFACConfig:
 
     inv_type: str = EIGEN  # 'eigen' | 'inverse'
     strategy: str = "dp"  # 'dp' | 'mpd' (distributed schedule; see parallel/)
+    # dp mode: each device computes ONLY its owned rows' factor GEMMs (one
+    # lax.switch branch per shard with a static row subset) instead of every
+    # row everywhere + dynamic_slice. This is what makes DP-KFAC's factor
+    # work actually shard N ways, matching the reference's rank-filtered
+    # hooks (kfac_preconditioner_inv_dp.py:60-90, where non-owner ranks
+    # never even save a/g). Irrelevant when world_size == 1; mpd mode
+    # always computes everywhere (its factors are local-batch estimates
+    # averaged over the data axis — every device's batch must contribute).
+    owner_only_factors: bool = True
     damping: float = 0.001
     fac_update_freq: int = 1
     kfac_update_freq: int = 1

@@ -261,6 +261,67 @@ def bench_tracking(sizes, results, drift_steps=20):
             )
 
 
+def bench_tracking_drift(sizes, results, steps=500, probe_every=100):
+    """LONG-HORIZON tracking fidelity (VERDICT round-2 item 3): run the
+    production EMA + tracking refresh for ``steps`` refreshes with NO exact
+    re-refresh at all, probing the preconditioner-application error every
+    ``probe_every`` steps. If the error stays bounded at the horizon, the
+    default tracking_exact_freq can rise to >= that horizon (or warmup-only)
+    and the arm's amortized eigh cost goes to ~zero — closing the accounting
+    hole (one exact eigh refresh ~6.3s across RN50's buckets, BENCH_NOTES).
+    """
+    import jax
+    import jax.numpy as jnp
+    from kfac_pytorch_tpu.ops import linalg as L
+    from kfac_pytorch_tpu.ops.blocked_symeig import tracking_symeig_update
+
+    rng = np.random.RandomState(0)
+    for n in sizes:
+        a0 = jnp.asarray(_spd(rng, n))
+        base = _spd(rng, n)
+        fresh = jnp.asarray(
+            np.stack([0.9 * base + 0.1 * _spd(rng, n) for _ in range(4)])
+        )
+        w0, v0 = jax.jit(lambda x: L.symeig(x))(a0)
+
+        @jax.jit
+        def segment(a, v, fr, k=probe_every):
+            def refresh(carry, i):
+                a, v = carry
+                a = 0.05 * fr[i % 4] + 0.95 * a
+                w, v = tracking_symeig_update(a, v, precision=None)
+                return (a, v), ()
+
+            (a, v), _ = jax.lax.scan(refresh, (a, v), jnp.arange(k))
+            return a, v
+
+        @jax.jit
+        def precond_err(a, v):
+            # what K-FAC consumes: V f(w) V^T, f = 1/(x + damping)
+            b = jnp.swapaxes(v, -2, -1) @ a @ v
+            w_tr = jnp.diagonal(b)
+            lam = 1e-2 * jnp.trace(a) / n
+            approx = (v / (w_tr + lam)) @ jnp.swapaxes(v, -2, -1)
+            exact = L.cholesky_inverse(
+                a + lam * jnp.eye(n, dtype=a.dtype)
+            )
+            return (jnp.linalg.norm(approx - exact)
+                    / jnp.linalg.norm(exact))
+
+        a, v = a0, v0
+        errs = []
+        for seg in range(steps // probe_every):
+            a, v = segment(a, v, fresh)
+            errs.append(float(precond_err(a, v)))
+        row = {"op": "tracking_drift", "n": n, "steps": steps,
+               "probe_every": probe_every, "precond_rel_errs": errs}
+        results.append(row)
+        curve = " ".join(
+            f"@{(i+1)*probe_every}:{e:.2e}" for i, e in enumerate(errs)
+        )
+        print(f"tracking_drift n={n:5d} (no exact refresh) {curve}")
+
+
 def bench_cholesky(sizes, results):
     import jax
     import jax.numpy as jnp
@@ -382,10 +443,11 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--op", default="all",
                    choices=["symeig", "jacobi", "blocked", "tracking",
-                            "cholesky", "gemm", "patches", "factor_a",
-                            "all"])
+                            "tracking-drift", "cholesky", "gemm", "patches",
+                            "factor_a", "all"])
     p.add_argument("--sizes", type=int, nargs="+",
                    default=[128, 256, 512, 1024, 2048, 4608])
+    p.add_argument("--drift-steps", type=int, default=500)
     p.add_argument("--json", action="store_true")
     args = p.parse_args(argv)
     from kfac_pytorch_tpu.utils.platform import ensure_platform_from_env
@@ -405,6 +467,11 @@ def main(argv=None):
         bench_blocked(args.sizes, results)
     if args.op in ("tracking", "all"):
         bench_tracking(args.sizes, results)
+    if args.op == "tracking-drift":
+        bench_tracking_drift(
+            [n for n in args.sizes if n >= 512] or args.sizes,
+            results, steps=args.drift_steps,
+        )
     if args.op in ("cholesky", "all"):
         bench_cholesky(args.sizes, results)
     if args.op in ("gemm", "all"):
