@@ -122,6 +122,16 @@ def _build(model_name, batch, image, num_classes):
             # 'never' = 4-matmul operator form (exact TInv=1 update,
             # staleness only affects CG rate)
             pcg_fused=os.environ.get("KFB_FUSED", "auto"),
+            # bf16 preconditioner storage halves the CG stage's dominant
+            # HBM traffic (per-iteration re-read of all (da^2+dg^2)
+            # inverse matrices); pair with KFB_FUSED=force to keep the
+            # 3-matmul iteration (bf16-perturbed stale system)
+            pcg_precond_dtype=os.environ.get("KFB_PDTYPE") or None,
+            # 'ns' = Newton-Schulz warm-started inverse refresh (matmuls
+            # only; the batched Cholesky refresh is the largest amortized
+            # term of the headline at prec_freq=10)
+            pcg_refresh=os.environ.get("KFB_REFRESH", "cholesky"),
+            pcg_ns_iters=_env_i("KFB_NS_ITERS", 3),
             pcg_warm_start=bool(_env_i("KFB_WARM", 1)),
             kfac_update_freq=_env_i("KFB_TINV", 1),
             fac_update_freq=_env_i("KFB_TCOV", 1),

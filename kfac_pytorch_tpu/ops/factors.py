@@ -199,6 +199,23 @@ def extract_patches(
     return p.reshape(b, oh, ow, kh * kw * c)
 
 
+# factor_dtype='auto': cast the covariance GEMM inputs to bf16 only when
+# the (materialized) row matrix is large. Rationale (measured, BENCH_NOTES
+# round 3): a blanket bf16 cast LOSES ~0.05x overall (the cast is an extra
+# op on buffers XLA already feeds to the MXU as bf16 passes), but for the
+# RN50 stem's im2col (B*112^2 x 148 = ~295 MB f32) the cast HALVES the
+# patch materialization traffic: 14.6 -> 7.5 ms for that single factor.
+# f32 accumulation is preserved either way (preferred_element_type).
+_AUTO_BF16_MIN_BYTES = float(os.environ.get("KFAC_AUTO_BF16_BYTES", 64e6))
+
+
+def _resolve_dtype(dtype, rows: int, cols: int):
+    if isinstance(dtype, str) and dtype == "auto":
+        big = rows * cols * 4 >= _AUTO_BF16_MIN_BYTES
+        return jnp.bfloat16 if big else jnp.float32
+    return dtype
+
+
 def _cov_with_bias(
     v: jax.Array, scale, has_bias: bool, ones_val, dtype, precision
 ) -> jax.Array:
@@ -207,7 +224,7 @@ def _cov_with_bias(
     from one raw-row GEMM, a row-sum, and a scalar corner. Mathematically
     identical to concat+divide+GEMM but saves two full passes over v (v can
     be conv patches ~10x the activation size)."""
-    v = v.astype(dtype)
+    v = v.astype(_resolve_dtype(dtype, v.shape[0], v.shape[1]))
     pp = _gram(v, precision) * scale
     if not has_bias:
         return pp

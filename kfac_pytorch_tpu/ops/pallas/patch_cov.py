@@ -128,6 +128,55 @@ def _tri_kernel(a_ref, out_ref, xcat_ref, *, kh, kw, sh, sw, oh, ow, c,
             out_ref[rb * 128 : (rb + 1) * 128, rb * 128 :] += acc
 
 
+def _pairs_kernel(a_ref, out_ref, xcat_ref, *, kh, kw, sh, sw, oh, ow, c,
+                  pairs):
+    """Tap-pair-blocked variant for large D (c >= 256, D*D output far over
+    VMEM): assemble X_cat once per batch tile, then compute one (c, c) MXU
+    dot per UPPER tap pair (t1 <= t2) in this call's static chunk. The
+    (chunk, c, c) output block is constant-indexed, so it stays VMEM-
+    resident across the whole batch sweep; the caller mirrors the strict
+    lower tap triangle outside (45% flop cut at 3x3). This is the shape of
+    kernel the D-resident designs cannot reach: at D=2304/4608 the (D, D)
+    block is 21/85 MB, but a (c, c) tap block is 0.25/1 MB.
+
+    Distinct from ops/pallas/tap_cov.py (the recorded negative result):
+    that kernel re-read two strided windows from the activation tile per
+    pair (90 window reshapes per tile — Mosaic compile blew up at c >= 256);
+    here the 9 window reshapes happen once into scratch and every pair dot
+    is a lane-aligned static column slice of the scratch."""
+    nb = pl.program_id(0)
+    bc = a_ref.shape[0]
+    n_rows = bc * oh * ow
+
+    for i in range(kh):
+        for j in range(kw):
+            win = a_ref[
+                :,
+                i : i + (oh - 1) * sh + 1 : sh,
+                j : j + (ow - 1) * sw + 1 : sw,
+                :,
+            ]
+            xcat_ref[:, (i * kw + j) * c : (i * kw + j + 1) * c] = (
+                win.reshape(n_rows, c).astype(xcat_ref.dtype)
+            )
+
+    for p, (t1, t2) in enumerate(pairs):
+        acc = jax.lax.dot_general(
+            xcat_ref[:, t1 * c : (t1 + 1) * c],
+            xcat_ref[:, t2 * c : (t2 + 1) * c],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(nb == 0)
+        def _(p=p, acc=acc):
+            out_ref[p] = acc
+
+        @pl.when(nb != 0)
+        def _(p=p, acc=acc):
+            out_ref[p] += acc
+
+
 # Leave headroom under the ~16 MB/core scoped-VMEM limit for lane-padding
 # of non-128-multiple dims and compiler temporaries (measured: an 11 MB
 # nominal budget compiled to a 20.7 MB scoped allocation and was rejected).
@@ -189,6 +238,41 @@ def _pick_tri(b, oh, ow, hp, wp, c, d, itemsize):
     return best_bc or None
 
 
+def _pick_pairs(b, oh, ow, hp, wp, c, d, itemsize):
+    """(pair_chunk, bc) for the tap-pair-blocked kernel, or None.
+
+    Budget: f32 input tile double-buffered + X_cat scratch + the resident
+    f32 (chunk, c, c) output block (constant index map — single buffer).
+
+    bc is maximized FIRST: the per-pair dot contracts over bc*oh*ow rows,
+    and at the late-stage geometries this path serves (7x7/14x14 maps) a
+    small bc starves the MXU — measured bc=1 at c=512 gave K=49
+    contractions and lost 4x to XLA. The pair chunk then takes the budget
+    remainder (fewer pallas calls = less tile re-streaming, secondary)."""
+    if c % 128 != 0:
+        return None
+    tile = hp * wp * c * 4
+    out_blk = c * c * 4
+    n_taps = d // c
+    n_pairs = n_taps * (n_taps + 1) // 2
+    best = None
+    for bc in range(b, 0, -1):
+        if b % bc:
+            continue
+        used = bc * oh * ow * d * itemsize + 2 * bc * tile
+        chunk = min(n_pairs, int((_VMEM_BUDGET - used) // out_blk))
+        if chunk < 1:
+            continue
+        # require a healthy contraction depth unless b itself is tiny
+        if bc * oh * ow < 256 and bc < b:
+            continue
+        cand = (chunk, bc)
+        if best is None or bc > best[1]:
+            best = cand
+        break  # bc loop descends: first feasible is the max
+    return best
+
+
 def supported(a_shape, kernel_size, strides=(1, 1),
               padding=None) -> bool:
     """Geometry gate: lane-friendly channel counts, a multi-tap kernel
@@ -211,6 +295,7 @@ def supported(a_shape, kernel_size, strides=(1, 1),
     oh, ow = hp - kh + 1, wp - kw + 1
     d = kh * kw * c
     return (_pick_tri(b, oh, ow, hp, wp, c, d, 2) is not None
+            or _pick_pairs(b, oh, ow, hp, wp, c, d, 2) is not None
             or _pick_chunks(b, oh, ow, hp, wp, c, d, 2) is not None)
 
 
@@ -246,6 +331,11 @@ def patch_cov(
     if tri_bc is not None:
         return _patch_cov_tri(
             a, kh, kw, sh, sw, oh, ow, c, d, tri_bc, compute_dtype
+        )
+    pair_pick = _pick_pairs(b, oh, ow, hp, wp, c, d, itemsize)
+    if pair_pick is not None:
+        return _patch_cov_pairs(
+            a, kh, kw, sh, sw, oh, ow, c, d, pair_pick, compute_dtype
         )
     chunks = _pick_chunks(b, oh, ow, hp, wp, c, d, itemsize)
     if chunks is None:
@@ -287,6 +377,68 @@ def patch_cov(
         ),
     )(a)
     return out
+
+
+def _patch_cov_pairs(a, kh, kw, sh, sw, oh, ow, c, d, pick, compute_dtype):
+    """Tap-pair-blocked path for large D: one pallas_call per static chunk
+    of upper tap pairs (the tile is re-streamed per chunk — a few x the
+    activation size, cheap at these geometries), each with its (chunk, c, c)
+    output resident; the (T, T) block grid is assembled and mirrored
+    outside (A[t2, t1] = A[t1, t2]^T)."""
+    import numpy as np
+
+    chunk, bc = pick
+    b, hp, wp, _ = a.shape
+    n_b = b // bc
+    n_rows = bc * oh * ow
+    n_taps = kh * kw
+    pairs = [(t1, t2) for t1 in range(n_taps) for t2 in range(t1, n_taps)]
+
+    blocks = []
+    for start in range(0, len(pairs), chunk):
+        chunk_pairs = pairs[start : start + chunk]
+        kernel = functools.partial(
+            _pairs_kernel, kh=kh, kw=kw, sh=sh, sw=sw, oh=oh, ow=ow, c=c,
+            pairs=chunk_pairs,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_b,),
+            in_specs=[
+                pl.BlockSpec(
+                    (bc, hp, wp, c), lambda nb: (nb, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ],
+            out_specs=pl.BlockSpec(
+                (len(chunk_pairs), c, c), lambda nb: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (len(chunk_pairs), c, c), jnp.float32
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((n_rows, d), jnp.dtype(compute_dtype))
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * oh * ow * c * c * len(chunk_pairs),
+                bytes_accessed=b * hp * wp * c * 4,
+                transcendentals=0,
+            ),
+        )(a)
+        blocks.append(out)
+    upper = jnp.concatenate(blocks) if len(blocks) > 1 else blocks[0]
+
+    iu = np.array([p[0] for p in pairs])
+    ju = np.array([p[1] for p in pairs])
+    grid4 = jnp.zeros((n_taps, n_taps, c, c), jnp.float32)
+    grid4 = grid4.at[iu, ju].set(upper)
+    strict = grid4.at[np.arange(n_taps), np.arange(n_taps)].set(0.0)
+    full = grid4 + jnp.transpose(strict, (1, 0, 3, 2))
+    return jnp.transpose(full, (0, 2, 1, 3)).reshape(d, d)
 
 
 def _patch_cov_tri(a, kh, kw, sh, sw, oh, ow, c, d, bc, compute_dtype):

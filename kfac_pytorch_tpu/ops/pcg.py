@@ -37,6 +37,103 @@ def _masked_diag_mean(m: jax.Array, real_d) -> jax.Array:
     return jnp.sum(jnp.where(mask, diag, 0.0), axis=-1) / real_d
 
 
+def _pi_shifts(a, g, damping, real_da=None, real_dg=None):
+    """Per-layer pi-split damping shifts (s_a, s_g) from masked real-block
+    traces (reference inv.py:121-128; identity-padding-exact)."""
+    da, dg = a.shape[-1], g.shape[-1]
+    if real_da is None:
+        tr_a = jnp.trace(a, axis1=-2, axis2=-1) / da
+        tr_g = jnp.trace(g, axis1=-2, axis2=-1) / dg
+    else:
+        tr_a = _masked_diag_mean(a, real_da)
+        tr_g = _masked_diag_mean(g, real_dg)
+    tr_a = jnp.maximum(tr_a, 1e-10)
+    tr_g = jnp.maximum(tr_g, 1e-10)
+    pi = jnp.sqrt(tr_a / tr_g)
+    sd = jnp.sqrt(damping)
+    return sd * pi, sd / pi
+
+
+def ns_inverse_refresh(
+    m: jax.Array, x0: jax.Array, iters: int = 3, precision=None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Newton-Schulz inverse refresh: X <- X (2I - M X), warm-started.
+
+    Converges quadratically to M^-1 when ||I - M X0|| < 1 — which holds
+    between K-FAC preconditioner refreshes because the factors drift only
+    by the EMA rate (a few % per step) and X0 is the previous inverse.
+    All matmuls: ~2*iters GEMMs per factor vs a batched Cholesky +
+    triangular-solve inverse that runs ~17x above its flop floor on TPU
+    (11.5 ms at 4608 vs a ~0.7 ms GEMM-rate floor, BENCH_NOTES round 1) —
+    the refresh is the single largest amortized term of the pcg headline
+    (~8 ms/step at prec_freq=10, inferred from the prec_freq 10 vs 50
+    arms). Returns (X, r_norm) with r_norm = per-matrix infinity norm of
+    the LAST loop residual I - M X (squares once more by the final
+    update), for the caller's convergence safeguard.
+    """
+    mm = lambda x, y: jnp.matmul(x, y, precision=precision,
+                                 preferred_element_type=jnp.float32)
+    n = m.shape[-1]
+    eye = jnp.eye(n, dtype=jnp.float32)
+    x = x0.astype(jnp.float32)
+    mf = m.astype(jnp.float32)
+    r_norm = None
+    for _ in range(iters):
+        # 2 matmuls/iteration: R = I - M X, X <- X (I + R)
+        r = eye - mm(mf, x)
+        # infinity norm (max row sum) BOUNDS the spectral norm (an
+        # elementwise max does not — it under-reads by up to n and let a
+        # divergent refresh through the safeguard in testing). The update
+        # squares the residual exactly (R_new = R^2), so the LAST loop
+        # residual certifies the final one at no extra matmul: quadratic
+        # convergence makes it either tiny or astronomically large.
+        r_norm = jnp.max(jnp.sum(jnp.abs(r), axis=-1), axis=-1)
+        x = x + mm(x, r)
+    # exact symmetrization: M^-1 is symmetric; NS rounding breaks it at
+    # ~1e-7, and the fused CG algebra assumes symmetric inverses
+    x = 0.5 * (x + jnp.swapaxes(x, -2, -1))
+    return x, r_norm
+
+
+def damped_ns_factors(
+    a: jax.Array, g: jax.Array, damping, prev_inv_a, prev_inv_g,
+    real_da=None, real_dg=None, dtype=None, iters: int = 3,
+    precision=None, safe_threshold: float = 0.7,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Newton-Schulz warm-started replacement for damped_cholesky_factors.
+
+    Same contract (dense inverses of the pi-split damped factors + shifts),
+    but refreshed from the PREVIOUS inverses with matmuls only. A
+    bucket-level lax.cond falls back to the exact Cholesky path whenever
+    any matrix's last-iterate residual norm ||I - M X||_inf exceeds
+    ``safe_threshold`` (warm start outside NS's convergence ball — e.g.
+    after a resume with cold state, or a drift spike); the steady-state
+    path never pays the Cholesky cost.
+    """
+    s_a, s_g = _pi_shifts(a, g, damping, real_da, real_dg)
+    da, dg = a.shape[-1], g.shape[-1]
+    m_a = a + s_a[..., None, None] * jnp.eye(da, dtype=a.dtype)
+    m_g = g + s_g[..., None, None] * jnp.eye(dg, dtype=g.dtype)
+
+    inv_a, r_a = ns_inverse_refresh(m_a, prev_inv_a, iters, precision)
+    inv_g, r_g = ns_inverse_refresh(m_g, prev_inv_g, iters, precision)
+    # accept iff the last-iterate residual certifies convergence (the
+    # final residual is its square); 0.7^2 < 0.5
+    ok = (jnp.max(r_a) < safe_threshold) & (jnp.max(r_g) < safe_threshold)
+
+    def exact():
+        return (
+            lops.cholesky_inverse(m_a).astype(jnp.float32),
+            lops.cholesky_inverse(m_g).astype(jnp.float32),
+        )
+
+    inv_a, inv_g = jax.lax.cond(ok, lambda: (inv_a, inv_g), exact)
+    if dtype is not None:
+        inv_a = inv_a.astype(dtype)
+        inv_g = inv_g.astype(dtype)
+    return inv_a, inv_g, s_a, s_g
+
+
 def damped_cholesky_factors(
     a: jax.Array, g: jax.Array, damping, real_da=None, real_dg=None,
     dtype=None,
@@ -186,15 +283,26 @@ def pcg_kron_solve(
             raise ValueError("return_gxa requires iters >= 1")
         return prec(grad2d)
 
-    if fused not in ("auto", "never"):
-        raise ValueError(f"pcg_fused must be 'auto' or 'never', got {fused}")
+    if fused not in ("auto", "never", "force"):
+        raise ValueError(
+            f"pcg_fused must be 'auto', 'never' or 'force', got {fused}"
+        )
+    # 'force': take the fused form even with bf16-stored inverses. The
+    # collapsed operator is then the stale operator perturbed at bf16
+    # precision (~1e-3 relative) — a *different nearby system* solved
+    # exactly, not a slower solve of the same system. K-FAC's own damping
+    # and EMA staleness dwarf that perturbation; the payoff is HALF the
+    # CG stage's dominant HBM traffic (the per-iteration re-read of every
+    # layer's (da^2 + dg^2) preconditioner matrices). Measured/validated
+    # by the pcg_bf16_dp convergence arm before becoming any default.
     fused = (
-        fused == "auto"
+        (fused == "force"
+         or (fused == "auto"
+             and la.dtype == jnp.float32
+             and lg.dtype == jnp.float32))
         and (x0 is None or gxa0 is not None)
         and s_a is not None
         and s_g is not None
-        and la.dtype == jnp.float32
-        and lg.dtype == jnp.float32
     )
     if return_gxa and not fused:
         raise ValueError(

@@ -842,9 +842,10 @@ class BlockKFAC:
                                 return da_, qa, dg_, qg
 
                             use_exact = (step < cfg.tracking_warmup) | (
-                                step % jnp.maximum(
+                                (cfg.tracking_exact_freq > 0)
+                                & (step % jnp.maximum(
                                     cfg.tracking_exact_freq, 1
-                                ) == 0
+                                ) == 0)
                             )
                             outs.append(
                                 jax.lax.cond(use_exact, exact, track)
@@ -871,11 +872,24 @@ class BlockKFAC:
                 def prec_all():
                     outs = []
                     for b_idx, e in enumerate(entries):
-                        vals = pcg_ops.damped_cholesky_factors(
-                            e["A"], e["G"], damping,
-                            real_da=real_da[b_idx], real_dg=real_dg[b_idx],
-                            dtype=cfg._pcg_dtype,
-                        )
+                        if cfg.pcg_refresh == "ns":
+                            st0 = state["buckets"][b_idx]
+                            vals = pcg_ops.damped_ns_factors(
+                                e["A"], e["G"], damping,
+                                st0["cholA"], st0["cholG"],
+                                real_da=real_da[b_idx],
+                                real_dg=real_dg[b_idx],
+                                dtype=cfg._pcg_dtype,
+                                iters=cfg.pcg_ns_iters,
+                                precision=cfg.precision,
+                            )
+                        else:
+                            vals = pcg_ops.damped_cholesky_factors(
+                                e["A"], e["G"], damping,
+                                real_da=real_da[b_idx],
+                                real_dg=real_dg[b_idx],
+                                dtype=cfg._pcg_dtype,
+                            )
                         if warm_fused:
                             # the stale operator changes at a refresh:
                             # re-anchor the carried G' xPrev A' exactly

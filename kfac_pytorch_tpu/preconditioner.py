@@ -228,6 +228,11 @@ class KFACConfig:
     def _factor_dtype(self):
         import jax.numpy as _jnp
 
+        if self.factor_dtype == "auto":
+            # per-layer policy resolved at the GEMM by row-matrix size
+            # (ops/factors._resolve_dtype): bf16 inputs only where the
+            # materialized patch buffer is large (e.g. the RN50 stem)
+            return "auto"
         return _jnp.dtype(self.factor_dtype)
     # symmetric eigensolver (the tcmm f_symeig equivalents):
     #   'xla'      XLA QDWH eigh everywhere
@@ -297,8 +302,17 @@ class KFACConfig:
     # applies the operator algebraically through the exact inverse);
     # 'bfloat16' halves state traffic but falls back to the explicit
     # 4-matmul operator (a sloppy preconditioner only slows CG; a sloppy
-    # operator would change the answer)
+    # operator would change the answer) — unless pcg_fused='force'
     pcg_precond_dtype: Any = None
+    # preconditioner refresh method: 'cholesky' (exact batched Cholesky
+    # inverse — 11.5 ms/matrix at 4608, ~17x its GEMM-rate flop floor on
+    # TPU because triangular solves serialize) or 'ns' (Newton-Schulz
+    # warm-started from the previous inverse — matmuls only, quadratic
+    # convergence since factors drift by the EMA rate between refreshes,
+    # with an automatic bucket-level Cholesky fallback outside the
+    # convergence ball). See ops/pcg.damped_ns_factors.
+    pcg_refresh: str = "cholesky"
+    pcg_ns_iters: int = 3
     # warm-start CG from the previous step's solution (BlockKFAC bucketed
     # path): gradients correlate strongly across steps, so x_{t-1} leaves
     # CG only the step-to-step delta to resolve — the same accuracy at
@@ -323,8 +337,12 @@ class KFACConfig:
     @property
     def _pcg_fused_active(self) -> bool:
         """Whether pcg_kron_solve will take the fused 3-matmul form under
-        this config (mirrors its static predicate)."""
-        return self.pcg_fused == "auto" and self._pcg_dtype is None
+        this config (mirrors its static predicate). 'force' keeps the fused
+        form even with bf16 inverse storage (the bf16-perturbed stale
+        system — see pcg_kron_solve)."""
+        return self.pcg_fused == "force" or (
+            self.pcg_fused == "auto" and self._pcg_dtype is None
+        )
 
     def symeig(self, x):
         import jax as _jax
@@ -587,9 +605,10 @@ class KFAC:
                                 return dA, QA, dG, QG
 
                             use_exact = (step < cfg.tracking_warmup) | (
-                                step % jnp.maximum(
+                                (cfg.tracking_exact_freq > 0)
+                                & (step % jnp.maximum(
                                     cfg.tracking_exact_freq, 1
-                                ) == 0
+                                ) == 0)
                             )
                             return jax.lax.cond(use_exact, exact, track)
                         dA, QA = cfg.symeig(entry["A"])

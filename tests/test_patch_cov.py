@@ -26,6 +26,11 @@ from kfac_pytorch_tpu.ops.pallas import patch_cov as pcov
         # 128-multiple divisor, 10.2 MB single output block) is now
         # rejected by the VMEM-feasibility gate
         (1, 10, 10, 128, 5, 1, 2),
+        # c=256 k=3: D=2304, (D, D) output over VMEM -> the tap-pair-
+        # blocked path (upper pair chunks, mirrored outside)
+        (2, 8, 8, 256, 3, 1, 1),
+        # c=384 k=3 with batch not fitting one tile chunk
+        (2, 7, 7, 384, 3, 1, 1),
     ],
 )
 def test_patch_cov_matches_materialized(b, h, w, c, k, s, p):

@@ -550,3 +550,131 @@ def test_cg_guards_freeze_on_converged_residual():
     assert np.all(np.isfinite(got))
     rel = np.linalg.norm(got - want) / np.linalg.norm(want)
     assert rel < 1e-4
+
+
+def test_forced_fused_bf16_solves_perturbed_stale_system():
+    """pcg_fused='force' with bf16-stored inverses: the fused 3-matmul
+    iteration runs (not the 4-matmul fallback) and converges to the eigen
+    update within the bf16 operator-perturbation scale (~1e-2 relative) —
+    the traffic-halving arm's correctness basis."""
+    rng = np.random.RandomState(3)
+    na, ng, lam = 96, 64, 0.03
+    A = jnp.asarray(_spd(rng, na))
+    G = jnp.asarray(_spd(rng, ng))
+    D = jnp.asarray(rng.randn(ng, na).astype(np.float32))
+
+    la, lg, sa, sg = P.damped_cholesky_factors(A, G, lam,
+                                               dtype=jnp.bfloat16)
+    assert la.dtype == jnp.bfloat16
+    # 'auto' with bf16 inverses must fall back (return_gxa then invalid)
+    with pytest.raises(ValueError):
+        P.pcg_kron_solve(D, A, G, la, lg, lam, iters=4, s_a=sa, s_g=sg,
+                         fused="auto", return_gxa=True)
+    # 'force' keeps the fused form: return_gxa works and the solution
+    # tracks the exact solve at bf16-perturbation accuracy
+    got, gxa = P.pcg_kron_solve(D, A, G, la, lg, lam, iters=20,
+                                s_a=sa, s_g=sg, fused="force",
+                                return_gxa=True)
+    exact = np.linalg.solve(
+        np.kron(np.asarray(A), np.asarray(G))
+        + lam * np.eye(na * ng),
+        np.asarray(D).reshape(-1, order="F"),
+    ).reshape(ng, na, order="F")
+    rel = (np.abs(np.asarray(got) - exact).max()
+           / np.abs(exact).max())
+    assert rel < 2e-2, rel
+
+
+def test_force_fused_config_predicate():
+    cfg = KFACConfig(inv_type="pcg", pcg_precond_dtype="bfloat16",
+                     pcg_fused="force")
+    assert cfg._pcg_fused_active
+    cfg2 = KFACConfig(inv_type="pcg", pcg_precond_dtype="bfloat16")
+    assert not cfg2._pcg_fused_active
+
+
+def test_ns_refresh_matches_cholesky_inverse():
+    """Newton-Schulz warm-started refresh converges to the exact damped
+    inverses at EMA-scale drift, and the bucket safeguard falls back to
+    Cholesky when warm-started outside the convergence ball."""
+    rng = np.random.RandomState(7)
+    L, na, ng, lam = 3, 64, 48, 0.03
+    A0 = jnp.asarray(np.stack([_spd(rng, na) for _ in range(L)]))
+    G0 = jnp.asarray(np.stack([_spd(rng, ng) for _ in range(L)]))
+    ia0, ig0, _, _ = P.damped_cholesky_factors(A0, G0, lam)
+
+    # drift the factors by ~10 EMA steps worth
+    A1 = 0.7 * A0 + 0.3 * jnp.asarray(
+        np.stack([_spd(rng, na) for _ in range(L)]))
+    G1 = 0.7 * G0 + 0.3 * jnp.asarray(
+        np.stack([_spd(rng, ng) for _ in range(L)]))
+    want_a, want_g, sa, sg = P.damped_cholesky_factors(A1, G1, lam)
+    got_a, got_g, sa2, sg2 = P.damped_ns_factors(
+        A1, G1, lam, ia0, ig0, iters=4)
+    np.testing.assert_allclose(np.asarray(sa2), np.asarray(sa), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_a), np.asarray(want_a),
+                               rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(want_g),
+                               rtol=2e-3, atol=1e-5)
+    # symmetry (the fused CG algebra assumes it)
+    np.testing.assert_allclose(
+        np.asarray(got_a), np.asarray(np.swapaxes(got_a, -1, -2)),
+        atol=1e-6)
+
+    # cold start far outside the ball -> safeguard must produce the exact
+    # inverse anyway (bucket-level Cholesky fallback)
+    bad_x0a = jnp.zeros_like(ia0) + 100.0
+    bad_x0g = jnp.zeros_like(ig0) + 100.0
+    fb_a, fb_g, _, _ = P.damped_ns_factors(
+        A1, G1, lam, bad_x0a, bad_x0g, iters=2)
+    np.testing.assert_allclose(np.asarray(fb_a), np.asarray(want_a),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_block_kfac_ns_refresh_trains():
+    """BlockKFAC with pcg_refresh='ns' runs and tracks the cholesky-refresh
+    trajectory on a small dense stack."""
+    from kfac_pytorch_tpu.capture import LayerSpec  # noqa: F401
+
+    rng = np.random.RandomState(11)
+
+    class MLP(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = ktpu.KFACDense(32)(x)
+            x = nn.relu(x)
+            x = ktpu.KFACDense(16)(x)
+            x = nn.relu(x)
+            return ktpu.KFACDense(10)(x)
+
+    model = MLP()
+    x = jnp.asarray(rng.randn(64, 24).astype(np.float32))
+    y = jnp.asarray(rng.randint(0, 10, 64))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    params = variables["params"]
+    specs, perturbs = ktpu.setup_kfac(model, {"params": params}, x)
+
+    outs = {}
+    for refresh in ("cholesky", "ns"):
+        kfac = BlockKFAC(
+            specs,
+            KFACConfig(inv_type="pcg", strategy="dp", damping=0.03,
+                       pcg_refresh=refresh, pcg_iters=6,
+                       pcg_precond_freq=3),
+        )
+        tx = optax.sgd(0.05, momentum=0.9)
+        state = TrainState(params=params, opt_state=tx.init(params),
+                           kfac_state=kfac.init_state(), model_state={})
+        step = jax.jit(make_train_step(model, tx, kfac,
+                                       perturb_template=perturbs))
+        sc = KFACScalars.create(lr=0.05, damping=0.03)
+        for _ in range(7):
+            state, m = step(state, (x, y), sc)
+        outs[refresh] = np.asarray(
+            jax.tree_util.tree_leaves(state.params)[0])
+        assert np.isfinite(float(m["loss"]))
+    # trajectory-level agreement: the NS inverse is exact to ~eps^(2^k),
+    # and in the fused form that perturbs the solved system slightly, so
+    # small per-step differences compound — assert closeness, not equality
+    np.testing.assert_allclose(outs["ns"], outs["cholesky"],
+                               rtol=0.05, atol=1e-2)

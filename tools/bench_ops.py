@@ -415,28 +415,46 @@ def bench_factor_a(results, batch=32, impls=("xla", "pallas", "taps")):
     import jax.numpy as jnp
     from kfac_pytorch_tpu.ops import factors as F
 
-    shapes = [(64, 56, 56), (128, 28, 28), (256, 14, 14), (512, 7, 7)]
+    shapes = [(64, 56, 56, 3, 1), (128, 28, 28, 3, 1), (256, 14, 14, 3, 1),
+              (512, 7, 7, 3, 1),
+              # the stem: 7x7 stride-2 on 3 channels — no Pallas support
+              # (c < lanes, strided), but its im2col is the single largest
+              # patch materialization left (B*112^2 x 147 rows); the bf16
+              # arm measures casting the materialized patches before the
+              # GEMM (halves that buffer)
+              (3, 224, 224, 7, 2)]
     rng = np.random.RandomState(0)
     totals = {impl: 0.0 for impl in impls}
-    for cin, h, w in shapes:
+    totals["xla_bf16"] = 0.0
+    for cin, h, w, k, s in shapes:
         x = jnp.asarray(rng.randn(batch, h, w, cin).astype(np.float32))
-        pad = F.resolve_conv_padding("SAME", (h, w), (3, 3), (1, 1))
-        row = {"op": "factor_a_conv", "shape": [cin, h, w, 3, 1]}
-        msg = f"factor_a c={cin:4d} {h:3d}x{w:<3d} k=3"
+        pad = F.resolve_conv_padding("SAME", (h, w), (k, k), (s, s))
+        row = {"op": "factor_a_conv", "shape": [cin, h, w, k, s]}
+        msg = f"factor_a c={cin:4d} {h:3d}x{w:<3d} k={k} s={s}"
         for impl in impls:
             f = jax.jit(
-                lambda x, impl=impl, pad=pad: F.compute_a_conv(
-                    x, (3, 3), (1, 1), pad, True, impl=impl
+                lambda x, impl=impl, pad=pad, k=k, s=s: F.compute_a_conv(
+                    x, (k, k), (s, s), pad, True, impl=impl
                 )
             )
             t = _timeit(f, x)
             row[f"{impl}_s"] = t
             totals[impl] += t
             msg += f" | {impl} {t*1e3:8.3f} ms"
+        fb = jax.jit(
+            lambda x, pad=pad, k=k, s=s: F.compute_a_conv(
+                x, (k, k), (s, s), pad, True, impl="xla",
+                dtype=jnp.bfloat16,
+            )
+        )
+        t = _timeit(fb, x)
+        row["xla_bf16_s"] = t
+        totals["xla_bf16"] += t
+        msg += f" | xla_bf16 {t*1e3:8.3f} ms"
         results.append(row)
         print(msg)
     print("factor_a TOTAL "
-          + " | ".join(f"{i} {totals[i]*1e3:.2f} ms" for i in impls))
+          + " | ".join(f"{i} {totals[i]*1e3:.2f} ms" for i in totals))
 
 
 def main(argv=None):

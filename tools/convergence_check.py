@@ -93,7 +93,9 @@ def make_dataset(n, classes, seed, margin_frac=0.5):
 
 
 def run_arm(variant, x, y, xv, yv, steps, batch, lr, damping, seed,
-            eval_every=0, tinv=1, tcov=1, pcg_iters=None, prec_freq=None):
+            eval_every=0, tinv=1, tcov=1, pcg_iters=None, prec_freq=None,
+            epoch_steps=0, damping_alpha=0.5, damping_decay=(),
+            freq_alpha=1.0, freq_decay=(), lr_decay=()):
     model = get_model("resnet20", num_classes=10)
     sample = jnp.asarray(x[:batch])
     variables = model.init(jax.random.PRNGKey(seed), sample, train=True)
@@ -101,7 +103,7 @@ def run_arm(variant, x, y, xv, yv, steps, batch, lr, damping, seed,
     model_state = {"batch_stats": variables["batch_stats"]}
 
     kfac, perturbs = None, None
-    bucketed_arm = variant in ("pcg_warm_dp", "pcg_cold_dp")
+    bucketed_arm = variant in ("pcg_warm_dp", "pcg_cold_dp", "pcg_bf16_dp")
     if variant != "sgd":
         specs, perturbs = ktpu.setup_kfac(
             model, {"params": params, **model_state}, sample, train=True
@@ -119,7 +121,15 @@ def run_arm(variant, x, y, xv, yv, steps, batch, lr, damping, seed,
             from kfac_pytorch_tpu.parallel.strategies import BlockKFAC
             from kfac_pytorch_tpu.preconditioner import KFACConfig
 
-            warm = variant == "pcg_warm_dp"
+            warm = variant in ("pcg_warm_dp", "pcg_bf16_dp")
+            extra = {}
+            if prec_freq is not None:
+                extra["pcg_precond_freq"] = prec_freq
+            if variant == "pcg_bf16_dp":
+                # bf16 inverse storage + forced fused form: validates the
+                # bf16-perturbed stale system's trajectory quality
+                extra.update(pcg_precond_dtype="bfloat16",
+                             pcg_fused="force")
             kfac = BlockKFAC(
                 specs,
                 KFACConfig(
@@ -127,11 +137,7 @@ def run_arm(variant, x, y, xv, yv, steps, batch, lr, damping, seed,
                     pcg_iters=pcg_iters or (3 if warm else 5),
                     pcg_warm_start=warm,
                     fac_update_freq=tcov, kfac_update_freq=tinv,
-                    **(
-                        {"pcg_precond_freq": prec_freq}
-                        if prec_freq is not None
-                        else {}
-                    ),
+                    **extra,
                 ),
             )
         else:
@@ -164,7 +170,38 @@ def run_arm(variant, x, y, xv, yv, steps, batch, lr, damping, seed,
         raw_step = make_train_step(model, tx, kfac, perturb_template=perturbs,
                                    train_kwargs={"train": True})
     eval_step = jax.jit(make_eval_step(model))
-    scalars = KFACScalars.create(lr=lr, damping=damping)
+    scheduler = None
+    if epoch_steps:
+        # the reference's per-epoch hyper schedule engaged end-to-end
+        # (KFACParamScheduler, base.py:233-301): damping and update-freq
+        # multiplicative decays at given epochs, lr multistep alongside
+        from kfac_pytorch_tpu.preconditioner import (
+            KFACHypers, KFACParamScheduler)
+
+        hypers = KFACHypers(damping, tcov, tinv)
+        scheduler = KFACParamScheduler(
+            hypers,
+            damping_alpha=damping_alpha,
+            damping_schedule=list(damping_decay),
+            update_freq_alpha=freq_alpha,
+            update_freq_schedule=list(freq_decay),
+        )
+
+    def scalars_at(step):
+        cur_lr = lr
+        for e in lr_decay:
+            if epoch_steps and step >= e * epoch_steps:
+                cur_lr *= 0.1
+        if scheduler is None:
+            return KFACScalars.create(lr=cur_lr, damping=damping)
+        h = scheduler.step(step // epoch_steps)
+        return KFACScalars.create(
+            lr=cur_lr, damping=h.damping,
+            fac_update_freq=max(h.fac_update_freq, 1),
+            kfac_update_freq=max(h.kfac_update_freq, 1),
+        )
+
+    scalars = scalars_at(0)
     data_rng = np.random.RandomState(seed)
     n = len(x)
     # scan-chained on-device training: the dataset is uploaded once and
@@ -179,14 +216,17 @@ def run_arm(variant, x, y, xv, yv, steps, batch, lr, damping, seed,
     # constant blows up compilation (the remote-compile service rejects
     # the oversized program outright)
     @jax.jit
-    def run_chunk(state, idxs, xd, yd):
+    def run_chunk(state, idxs, xd, yd, scalars):
         def body(st, ix):
             st, m = raw_step(st, (xd[ix], yd[ix]), scalars)
             return st, (m["loss"], m["accuracy"])
 
         return jax.lax.scan(body, state, idxs)
 
-    chunk = eval_every if eval_every else steps
+    chunk = eval_every if eval_every else (epoch_steps or steps)
+    if epoch_steps and eval_every:
+        # schedule changes apply at chunk boundaries — keep them aligned
+        chunk = min(chunk, epoch_steps)
     curve = []  # (step, val_loss, val_acc) trajectory
     tr_loss = tr_acc = None
     done = 0
@@ -195,7 +235,9 @@ def run_arm(variant, x, y, xv, yv, steps, batch, lr, damping, seed,
         idxs = jnp.asarray(
             data_rng.randint(0, n, (k, batch)).astype(np.int32)
         )
-        state, (losses, accs) = run_chunk(state, idxs, x_dev, y_dev)
+        scalars = scalars_at(done)
+        state, (losses, accs) = run_chunk(state, idxs, x_dev, y_dev,
+                                          scalars)
         tr_loss, tr_acc = float(losses[-1]), float(accs[-1])
         done += k
         if eval_every and done < steps:
@@ -243,6 +285,18 @@ def main(argv=None):
     p.add_argument("--margin-frac", type=float, default=0.5,
                    help="keep this fraction of generated samples, by "
                         "teacher-label confidence (1.0 = no filtering)")
+    # KFACParamScheduler wiring (reference base.py:233-301 engaged
+    # end-to-end; imagenet defaults damping_alpha=0.5)
+    p.add_argument("--epoch-steps", type=int, default=0,
+                   help="steps per 'epoch' for the hyper schedules "
+                        "(0 = schedules off)")
+    p.add_argument("--damping-alpha", type=float, default=0.5)
+    p.add_argument("--damping-decay", type=int, nargs="*", default=[],
+                   help="epochs at which damping multiplies by alpha")
+    p.add_argument("--freq-alpha", type=float, default=1.0)
+    p.add_argument("--freq-decay", type=int, nargs="*", default=[])
+    p.add_argument("--lr-decay", type=int, nargs="*", default=[],
+                   help="epochs at which lr multiplies by 0.1")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
     from kfac_pytorch_tpu.utils.platform import ensure_platform_from_env
@@ -263,6 +317,11 @@ def main(argv=None):
             args.seed, eval_every=args.eval_every,
             tinv=args.tinv, tcov=args.tcov, pcg_iters=args.pcg_iters,
             prec_freq=args.prec_freq,
+            epoch_steps=args.epoch_steps,
+            damping_alpha=args.damping_alpha,
+            damping_decay=args.damping_decay,
+            freq_alpha=args.freq_alpha, freq_decay=args.freq_decay,
+            lr_decay=args.lr_decay,
         )
         print(v, json.dumps(results[v]))
     if "sgd" in results and "eigen_dp" in results:
