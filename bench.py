@@ -191,13 +191,32 @@ def _build(model_name, batch, image, num_classes):
     return make_sgd(), make_kfac(), (x, y), scalars
 
 
-def _time_chained(raw_step, state, batch, scalars, k_hi=8, k_lo=1):
+def _time_chained(raw_step, state, batch, scalars, k_hi=8, k_lo=1,
+                  warm_steps=0):
     """Per-step time via scan-chained execution, cancelling dispatch and
-    transfer overhead: (T(k_hi) - T(k_lo)) / (k_hi - k_lo)."""
+    transfer overhead: (T(k_hi) - T(k_lo)) / (k_hi - k_lo).
+
+    warm_steps > 0: advance the state that many steps before timing, so the
+    window measures the STEADY-STATE step (the cold-start transient —
+    identity factors, cold warm-start caches, safeguard fallbacks in the
+    NS refresh — is a one-time cost, not the per-step cost a training run
+    pays; KFB_WARM_STEPS=0 restores the old cold-window behavior)."""
     import jax
     import jax.numpy as jnp
 
     import functools
+
+    if warm_steps > 0:
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def advance(state, k):
+            def body(st, _):
+                st, _m = raw_step(st, batch, scalars)
+                return st, ()
+
+            st, _ = jax.lax.scan(body, state, None, length=k)
+            return st
+
+        state = jax.block_until_ready(advance(state, warm_steps))
 
     @functools.partial(jax.jit, static_argnames=("k",))
     def multi(state, k):
@@ -260,9 +279,11 @@ def main():
                 else 1
             )
             k_hi = max(8, tinv + 1, tcov + 1, prec + 1)
-            t_sgd = _time_chained(sgd_raw, sgd_st, data, scalars, k_hi=k_hi)
+            warm = _env_i("KFB_WARM_STEPS", k_hi + 1)
+            t_sgd = _time_chained(sgd_raw, sgd_st, data, scalars, k_hi=k_hi,
+                                  warm_steps=warm)
             t_kfac = _time_chained(kfac_raw, kfac_st, data, scalars,
-                                   k_hi=k_hi)
+                                   k_hi=k_hi, warm_steps=warm)
             ratio = t_kfac / t_sgd
             print(
                 json.dumps(

@@ -95,7 +95,8 @@ def make_dataset(n, classes, seed, margin_frac=0.5):
 def run_arm(variant, x, y, xv, yv, steps, batch, lr, damping, seed,
             eval_every=0, tinv=1, tcov=1, pcg_iters=None, prec_freq=None,
             epoch_steps=0, damping_alpha=0.5, damping_decay=(),
-            freq_alpha=1.0, freq_decay=(), lr_decay=()):
+            freq_alpha=1.0, freq_decay=(), lr_decay=(),
+            track_exact_freq=50):
     model = get_model("resnet20", num_classes=10)
     sample = jnp.asarray(x[:batch])
     variables = model.init(jax.random.PRNGKey(seed), sample, train=True)
@@ -103,7 +104,8 @@ def run_arm(variant, x, y, xv, yv, steps, batch, lr, damping, seed,
     model_state = {"batch_stats": variables["batch_stats"]}
 
     kfac, perturbs = None, None
-    bucketed_arm = variant in ("pcg_warm_dp", "pcg_cold_dp", "pcg_bf16_dp")
+    bucketed_arm = variant in ("pcg_warm_dp", "pcg_cold_dp", "pcg_bf16_dp",
+                               "pcg_prod_dp")
     if variant != "sgd":
         specs, perturbs = ktpu.setup_kfac(
             model, {"params": params, **model_state}, sample, train=True
@@ -111,8 +113,11 @@ def run_arm(variant, x, y, xv, yv, steps, batch, lr, damping, seed,
         # 'tracking_dp': eigen_dp with the online eigenbasis-tracking
         # refresh (ops/blocked_symeig.tracking_symeig_update)
         if variant == "tracking_dp":
+            # track_exact_freq <= 0 = warmup-only exact refreshes (the
+            # honest zero-steady-state-eigh arm, round-3 drift probe)
             kfac = ktpu.get_kfac_module("eigen_dp")(
                 specs, damping=damping, symeig_impl="tracking",
+                tracking_exact_freq=track_exact_freq,
                 fac_update_freq=tcov, kfac_update_freq=tinv,
             )
         elif bucketed_arm:
@@ -121,7 +126,8 @@ def run_arm(variant, x, y, xv, yv, steps, batch, lr, damping, seed,
             from kfac_pytorch_tpu.parallel.strategies import BlockKFAC
             from kfac_pytorch_tpu.preconditioner import KFACConfig
 
-            warm = variant in ("pcg_warm_dp", "pcg_bf16_dp")
+            warm = variant in ("pcg_warm_dp", "pcg_bf16_dp",
+                               "pcg_prod_dp")
             extra = {}
             if prec_freq is not None:
                 extra["pcg_precond_freq"] = prec_freq
@@ -130,6 +136,12 @@ def run_arm(variant, x, y, xv, yv, steps, batch, lr, damping, seed,
                 # bf16-perturbed stale system's trajectory quality
                 extra.update(pcg_precond_dtype="bfloat16",
                              pcg_fused="force")
+            if variant == "pcg_prod_dp":
+                # the full round-3 production candidate: warm-2 fused CG +
+                # NS-refreshed bf16 inverses + auto factor dtype
+                extra.update(pcg_precond_dtype="bfloat16",
+                             pcg_fused="force", pcg_refresh="ns",
+                             factor_dtype="auto")
             kfac = BlockKFAC(
                 specs,
                 KFACConfig(
@@ -297,6 +309,9 @@ def main(argv=None):
     p.add_argument("--freq-decay", type=int, nargs="*", default=[])
     p.add_argument("--lr-decay", type=int, nargs="*", default=[],
                    help="epochs at which lr multiplies by 0.1")
+    p.add_argument("--track-exact-freq", type=int, default=50,
+                   help="tracking_dp arm: exact-refresh period; <= 0 = "
+                        "warmup-only (no steady-state eigendecomposition)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
     from kfac_pytorch_tpu.utils.platform import ensure_platform_from_env
@@ -321,7 +336,7 @@ def main(argv=None):
             damping_alpha=args.damping_alpha,
             damping_decay=args.damping_decay,
             freq_alpha=args.freq_alpha, freq_decay=args.freq_decay,
-            lr_decay=args.lr_decay,
+            lr_decay=args.lr_decay, track_exact_freq=args.track_exact_freq,
         )
         print(v, json.dumps(results[v]))
     if "sgd" in results and "eigen_dp" in results:
