@@ -389,6 +389,19 @@ class BlockKFAC:
         run: List[tuple] = []  # consecutive (spec, a, g) with equal keys
         run_key = None
 
+        frac = cfg.factor_batch_frac
+
+        def sub_batch(a, g):
+            """Factor statistics from the first ``frac`` of the batch
+            (DP-KFAC local-batch semantics — see KFACConfig). The cotangent
+            is rescaled by B/k: the loss was a FULL-batch mean, so its
+            per-row cotangents carry 1/B; a k-row estimate needs 1/k."""
+            if frac >= 1.0:
+                return a, g
+            b = a.shape[0]
+            k = max(int(b * frac), 1)
+            return a[:k], g[:k] * (b / k)
+
         def emit_per_row(items, a_impl):
             for s, a, g in items:
                 a_list.append(
@@ -440,8 +453,10 @@ class BlockKFAC:
         ):
             if kind == "single":
                 spec = payload
-                a = _get_path(acts, spec.path)["a"]
-                g = _get_path(gs, spec.path)["p"]
+                a, g = sub_batch(
+                    _get_path(acts, spec.path)["a"],
+                    _get_path(gs, spec.path)["p"],
+                )
                 key = self._factor_batch_key(spec, a, g)
                 if run and key != run_key:
                     flush()
@@ -460,8 +475,10 @@ class BlockKFAC:
                 specs = payload
                 s0 = specs[0]
                 ng = s0.n_groups
-                a = _get_path(acts, s0.path)["a"]
-                g = _get_path(gs, s0.path)["p"]
+                a, g = sub_batch(
+                    _get_path(acts, s0.path)["a"],
+                    _get_path(gs, s0.path)["p"],
+                )
                 cg = a.shape[-1] // ng
                 og = s0.out_dim
                 # (B,H,W,g*cg) -> (g,B,H,W,cg); (B,oh,ow,g*og) -> (g,...,og)

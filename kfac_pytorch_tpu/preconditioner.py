@@ -223,6 +223,17 @@ class KFACConfig:
     # cost ~6 ms/step in copies; small late-stage/dense ops win)
     factor_batch: bool = True
     factor_batch_max_bytes: int = 4_000_000
+    # fraction of the (device-local) batch used for factor STATISTICS
+    # (1.0 = all of it, the reference single-device semantics). DP-KFAC's
+    # own design computes factors from each owner's LOCAL batch — 1/N of
+    # the global batch on an N-device mesh (inv_dp.py:75-90; the TCC'22
+    # paper's estimator argument: local-batch factors are unbiased and the
+    # 0.95 EMA averages ~20 of them). factor_batch_frac=1/N makes a
+    # single-chip run's factor workload match the per-device workload of
+    # an N-way DP-KFAC run; convergence-validated by the pcg_frac_dp arm.
+    # Cotangent rows are rescaled by 1/frac so the batch-mean loss scaling
+    # stays exact (the reference's local loss is a local-batch mean).
+    factor_batch_frac: float = 1.0
 
     @property
     def _factor_dtype(self):
