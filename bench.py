@@ -86,6 +86,11 @@ def _build(model_name, batch, image, num_classes):
         return raw, st
 
     # K-FAC arm: the bucket-resident pipeline (training/bucketed.py) —
+    # Round-3 defaults (validated: three bench reproductions at
+    # 1.96-1.99x + the pcg_prod_dp convergence arm matching the f32
+    # control): Newton-Schulz warm-started refresh + bf16-stored inverses
+    # with the forced fused CG. KFB_REFRESH=cholesky KFB_PDTYPE= KFB_FUSED=auto
+    # restores the round-2 arm. —
     # gradients stacked once, K-FAC + SGD momentum in bucket form, deltas
     # unstacked once. inv_type='pcg' computes the SAME eigen-variant update
     # (exact damped Kronecker solve, tests/test_pcg.py) without
@@ -121,16 +126,18 @@ def _build(model_name, batch, image, num_classes):
             # prec_freq-stale factors = reference TInv=prec_freq);
             # 'never' = 4-matmul operator form (exact TInv=1 update,
             # staleness only affects CG rate)
-            pcg_fused=os.environ.get("KFB_FUSED", "auto"),
+            pcg_fused=os.environ.get("KFB_FUSED", "force"),
             # bf16 preconditioner storage halves the CG stage's dominant
             # HBM traffic (per-iteration re-read of all (da^2+dg^2)
             # inverse matrices); pair with KFB_FUSED=force to keep the
             # 3-matmul iteration (bf16-perturbed stale system)
-            pcg_precond_dtype=os.environ.get("KFB_PDTYPE") or None,
+            pcg_precond_dtype=(
+                os.environ.get("KFB_PDTYPE", "bfloat16") or None
+            ),
             # 'ns' = Newton-Schulz warm-started inverse refresh (matmuls
             # only; the batched Cholesky refresh is the largest amortized
             # term of the headline at prec_freq=10)
-            pcg_refresh=os.environ.get("KFB_REFRESH", "cholesky"),
+            pcg_refresh=os.environ.get("KFB_REFRESH", "ns"),
             pcg_ns_iters=_env_i("KFB_NS_ITERS", 3),
             pcg_warm_start=bool(_env_i("KFB_WARM", 1)),
             kfac_update_freq=_env_i("KFB_TINV", 1),
