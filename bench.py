@@ -71,6 +71,19 @@ def _build(model_name, batch, image, num_classes):
     specs, perturbs = ktpu.setup_kfac(
         model, {"params": params, **model_state}, x, train=True
     )
+    # Diagnostic: drop layers from K-FAC registration by path substring
+    # (comma-separated). KFB_DROP_SPECS=conv_init isolates the stem's
+    # in-program marginal cost (dropped layers fall back to plain SGD).
+    drop = os.environ.get("KFB_DROP_SPECS")
+    if drop:
+        pats = [p for p in drop.split(",") if p]
+        n0 = len(specs)
+        specs = [
+            s for s in specs
+            if not any(pat in "/".join(s.path) for pat in pats)
+        ]
+        print(f"# KFB_DROP_SPECS={drop}: {n0} -> {len(specs)} specs",
+              file=sys.stderr)
     tx = optax.sgd(0.1, momentum=0.9)
 
     def make_sgd():
@@ -154,6 +167,7 @@ def _build(model_name, batch, image, num_classes):
             # local-batch semantics: 1/N matches the per-device factor
             # workload of an N-way mesh; see KFACConfig.factor_batch_frac)
             factor_batch_frac=_env_f("KFB_FACTOR_FRAC", 1.0),
+            factor_ema_blockwise=bool(_env_i("KFB_EMA_BLOCKWISE", 1)),
             factor_dtype=os.environ.get("KFB_FDTYPE", "float32"),
             symeig_impl=os.environ.get("KFB_SYMEIG", "xla"),
             tracking_warmup=_env_i("KFB_TRACK_WARMUP", 1),

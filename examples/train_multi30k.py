@@ -57,6 +57,10 @@ def parse_args(argv=None):
                    help="adam = the reference's control arm (no K-FAC)")
     p.add_argument("--base-lr", type=float, default=0.1)
     p.add_argument("--warmup-steps", type=int, default=4000)
+    p.add_argument("--lr-factor", type=float, default=2.0,
+                   help="inverse-sqrt schedule multiplier for the Adam "
+                        "control arm (reference Optim.py lr_mul; peak lr = "
+                        "factor / sqrt(d_model * warmup_steps))")
     p.add_argument("--label-smoothing", type=float, default=0.1)
     # K-FAC
     p.add_argument("--kfac-name", default="eigen_dp",
@@ -149,7 +153,7 @@ def main(argv=None):
     steps_per_epoch = max(len(src_tr) // bs, 1)
     if args.optimizer == "adam":
         lr_fn = lr_schedules.inverse_sqrt(args.d_model, args.warmup_steps,
-                                          factor=2.0)
+                                          factor=args.lr_factor)
         tx = optax.adam(lr_fn, b1=0.9, b2=0.98, eps=1e-9)
     else:
         lr_fn = lr_schedules.warmup_multistep(

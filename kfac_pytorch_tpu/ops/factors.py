@@ -330,6 +330,12 @@ def resolve_a_conv_impl(
 
             if pcov.supported(shape, kernel_size, strides, padding):
                 return "pallas"
+            # strided geometries (stems): unit-stride kernel via the
+            # polyphase transform (ops/pallas/patch_cov.py)
+            if pcov.polyphase_supported(
+                shape, kernel_size, strides, padding
+            ):
+                return "pallas_poly"
         return "xla"
     return impl
 
@@ -358,11 +364,17 @@ def compute_a_conv(
     """
     batch_size = a.shape[0]
     impl = resolve_a_conv_impl(a.shape, kernel_size, strides, padding, impl)
-    if impl in ("taps", "pallas"):
+    if impl in ("taps", "pallas", "pallas_poly"):
         if impl == "taps":
             from kfac_pytorch_tpu.ops.pallas import tap_cov as tcov
 
             pp = tcov.tap_cov(a, kernel_size, padding)
+        elif impl == "pallas_poly":
+            from kfac_pytorch_tpu.ops.pallas import patch_cov as pcov
+
+            pp = pcov.patch_cov_polyphase(
+                a.astype(jnp.float32), kernel_size, strides, padding
+            )
         else:
             from kfac_pytorch_tpu.ops.pallas import patch_cov as pcov
 

@@ -273,6 +273,130 @@ def _pick_pairs(b, oh, ow, hp, wp, c, d, itemsize):
     return best
 
 
+def _polyphase_plan(h, w, c, kernel_size, strides, padding):
+    """Static plan turning a STRIDED patch covariance into a unit-stride one.
+
+    Strided window reads lower to tpu.strided_load, which Mosaic only
+    implements for 128-wide base memrefs — so stride-2 convs (RN50's 7x7
+    stem above all: 14.6 ms isolated on the XLA path, ~1 ms traffic floor)
+    could not use the fused kernels. The polyphase identity fixes this
+    outside the kernel: with phases P[p,q] = a_pad[:, p::sh, q::sw, :]
+    packed channel-wise into Ppack (B, Hs, Ws, sh*sw*C), the stride-s
+    kh x kw im2col row at output (x, y), tap (i, j) = (sh*di+p, sw*dj+q)
+    equals the UNIT-stride n_di x n_dj im2col of Ppack at tap (di, dj),
+    packed channel (p, q, ci):
+
+        a_pad[sh*x + i, sw*y + j, ci] = Ppack[x + di, y + dj, (p,q,ci)]
+
+    so  A_strided = gather(sel) of the unit-stride Gram of Ppack, where
+    sel maps feature (i, j, ci) -> (di*n_dj + dj)*cpk + (p*sw + q)*C + ci.
+    Taps with i >= kh or j >= kw and zero-padded pack channels only produce
+    Gram rows/cols the gather discards. Returns
+    (hp, wp, hs, ws, n_di, n_dj, cpk, oh, ow, sel) — sel a numpy index
+    array of length kh*kw*C into the packed Gram's kh'*kw'*cpk features.
+    """
+    import numpy as np
+
+    kh, kw = kernel_size
+    sh, sw = strides
+    (ph0, ph1), (pw0, pw1) = padding
+    hp, wp = h + ph0 + ph1, w + pw0 + pw1
+    oh = (hp - kh) // sh + 1
+    ow = (wp - kw) // sw + 1
+    n_di = (kh - 1) // sh + 1
+    n_dj = (kw - 1) // sw + 1
+    hs = oh + n_di - 1
+    ws = ow + n_dj - 1
+    # packed channel count padded to the sublane multiple the unit-stride
+    # kernels' static column writes require
+    cpk = -(-(sh * sw * c) // 8) * 8
+    sel = np.empty(kh * kw * c, np.int32)
+    t = 0
+    for i in range(kh):
+        di, p = divmod(i, sh)
+        for j in range(kw):
+            dj, q = divmod(j, sw)
+            base = (di * n_dj + dj) * cpk + (p * sw + q) * c
+            sel[t : t + c] = np.arange(base, base + c)
+            t += c
+    return hp, wp, hs, ws, n_di, n_dj, cpk, oh, ow, sel
+
+
+def polyphase_supported(a_shape, kernel_size, strides, padding=None) -> bool:
+    """Gate for the strided polyphase path: non-unit strides, multi-tap
+    PACKED kernel, and a VMEM-feasible unit-stride blocking of the packed
+    geometry. Small-c strided stems (RN50/Inception/MobileNet 7x7-s2 /
+    3x3-s2, c=3) are the target; large-c strided layers pack to dims where
+    the unit-stride kernels lose to XLA anyway (gated by the same
+    feasibility checks + the caller's rows/c policy)."""
+    b, h, w, c = a_shape
+    kh, kw = kernel_size
+    if tuple(strides) == (1, 1) or kh * kw == 1:
+        return False
+    if padding is None:
+        padding = ((kh // 2, kh // 2), (kw // 2, kw // 2))
+    _, _, hs, ws, n_di, n_dj, cpk, oh, ow, _ = _polyphase_plan(
+        h, w, c, kernel_size, strides, padding
+    )
+    if n_di * n_dj == 1:
+        return False
+    d2 = n_di * n_dj * cpk
+    return (_pick_tri(b, oh, ow, hs, ws, cpk, d2, 2) is not None
+            or _pick_pairs(b, oh, ow, hs, ws, cpk, d2, 2) is not None
+            or _pick_chunks(b, oh, ow, hs, ws, cpk, d2, 2) is not None)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kernel_size", "strides", "padding", "compute_dtype"),
+)
+def patch_cov_polyphase(
+    a: jax.Array,
+    kernel_size: Tuple[int, int],
+    strides: Tuple[int, int],
+    padding: PadPairs,
+    compute_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Strided patch covariance X^T X via the polyphase transform + the
+    unit-stride fused kernel. Same contract as patch_cov (f32 NHWC in,
+    (D, D) f32 out, feature order (kh, kw, c)) but for strides > 1.
+
+    The packing itself is a few cheap XLA slices of the padded input
+    (~the activation's size, e.g. 6.3 MB for the RN50 stem) — negligible
+    against the im2col materialization it avoids (295 MB f32)."""
+    kh, kw = kernel_size
+    sh, sw = strides
+    (ph0, ph1), (pw0, pw1) = padding
+    b, h, w, c = a.shape
+    hp, wp, hs, ws, n_di, n_dj, cpk, oh, ow, sel = _polyphase_plan(
+        h, w, c, kernel_size, strides, padding
+    )
+    if ph0 or ph1 or pw0 or pw1:
+        a = jnp.pad(a, ((0, 0), (ph0, ph1), (pw0, pw1), (0, 0)))
+    phases = []
+    for p in range(sh):
+        for q in range(sw):
+            ph = a[:, p::sh, q::sw, :]
+            pad_r = hs - ph.shape[1]
+            pad_c = ws - ph.shape[2]
+            if pad_r > 0 or pad_c > 0:
+                ph = jnp.pad(
+                    ph,
+                    ((0, 0), (0, max(pad_r, 0)), (0, max(pad_c, 0)), (0, 0)),
+                )
+            phases.append(ph[:, :hs, :ws, :])
+    packed = jnp.concatenate(phases, axis=-1)
+    if cpk > sh * sw * c:
+        packed = jnp.pad(
+            packed, ((0, 0), (0, 0), (0, 0), (0, cpk - sh * sw * c))
+        )
+    gram = patch_cov(
+        packed, (n_di, n_dj), (1, 1), ((0, 0), (0, 0)), compute_dtype
+    )
+    sel = jnp.asarray(sel)
+    return gram[sel][:, sel]
+
+
 def supported(a_shape, kernel_size, strides=(1, 1),
               padding=None) -> bool:
     """Geometry gate: lane-friendly channel counts, a multi-tap kernel

@@ -433,7 +433,7 @@ class BlockKFAC:
             batchable = (
                 cfg.factor_batch
                 and len(items) > 1
-                and a_impl not in ("pallas", "taps")
+                and a_impl not in ("pallas", "taps", "pallas_poly")
                 and a0.nbytes + g0.nbytes <= cfg.factor_batch_max_bytes
             )
             if not batchable:
@@ -504,6 +504,138 @@ class BlockKFAC:
         fa_all = jnp.concatenate(a_list) if len(a_list) > 1 else a_list[0]
         fg_all = jnp.concatenate(g_list) if len(g_list) > 1 else g_list[0]
         return fa_all, fg_all
+
+    def _ema_bucket_factors(self, bucket: Bucket, acts, gs, old_a, old_g,
+                            decay, rows: Optional[Tuple[int, ...]] = None):
+        """EMA the bucket's factor state DIRECTLY from fresh per-run blocks.
+
+        Equivalent to ``ema_update(_fresh_bucket_factors(...), old)`` but
+        without ever materializing the identity-embedded fresh copy or its
+        concatenation: each run's fresh (n, d, d) block EMAs into the
+        [pos:pos+n, :d, :d] slice of the state (static positions), pad rows
+        stay identity untouched (EMA(I, I) = I). For RN50 the padded state
+        is ~617 MB, so the embed + concat + full-state EMA path moves
+        several extra GB/step at TCov=1 — this is the state-traffic lever
+        the factor_batch_frac probe pointed at (BENCH_NOTES round 3).
+        Returns (new_a, new_g)."""
+        prec = self.config.precision
+        fdt = self.config._factor_dtype
+        cfg = self.config
+        new_a, new_g = old_a, old_g
+        pos = 0
+        run: List[tuple] = []
+        run_key = None
+
+        frac = cfg.factor_batch_frac
+
+        def sub_batch(a, g):
+            if frac >= 1.0:
+                return a, g
+            b = a.shape[0]
+            k = max(int(b * frac), 1)
+            return a[:k], g[:k] * (b / k)
+
+        def emit(fa, fg):
+            """fa: (n, da_r, da_r), fg: (n, dg_r, dg_r) fresh blocks."""
+            nonlocal new_a, new_g, pos
+            n, da_r = fa.shape[0], fa.shape[-1]
+            dg_r = fg.shape[-1]
+            old_blk_a = jax.lax.slice(
+                new_a, (pos, 0, 0), (pos + n, da_r, da_r))
+            old_blk_g = jax.lax.slice(
+                new_g, (pos, 0, 0), (pos + n, dg_r, dg_r))
+            new_a = new_a.at[pos:pos + n, :da_r, :da_r].set(
+                fops.ema_update(fa, old_blk_a, decay))
+            new_g = new_g.at[pos:pos + n, :dg_r, :dg_r].set(
+                fops.ema_update(fg, old_blk_g, decay))
+            pos += n
+
+        def emit_per_row(items, a_impl):
+            for s, a, g in items:
+                emit(
+                    compute_factor_a(s, a, prec, fdt, a_impl)[None],
+                    compute_factor_g(s, g, prec, fdt)[None],
+                )
+
+        def flush():
+            nonlocal run, run_key
+            if not run:
+                return
+            items, run, run_key = run, [], None
+            s0, a0, g0 = items[0]
+            a_impl = cfg.factor_impl
+            if s0.kind == CONV:
+                a_shape = list(a0.shape)
+                if s0.n_groups > 1:
+                    a_shape[-1] //= s0.n_groups
+                a_impl = fops.resolve_a_conv_impl(
+                    tuple(a_shape), s0.kernel_size, s0.strides, s0.padding,
+                    a_impl,
+                )
+            batchable = (
+                cfg.factor_batch
+                and len(items) > 1
+                and a_impl not in ("pallas", "taps", "pallas_poly")
+                and a0.nbytes + g0.nbytes <= cfg.factor_batch_max_bytes
+            )
+            if not batchable:
+                emit_per_row(items, a_impl)
+                return
+            fa = jax.vmap(
+                lambda ax: compute_factor_a(s0, ax, prec, fdt, a_impl)
+            )(jnp.stack([a for _, a, _ in items]))
+            fg = jax.vmap(
+                lambda gx: compute_factor_g(s0, gx, prec, fdt)
+            )(jnp.stack([g for _, _, g in items]))
+            emit(fa, fg)
+
+        for kind, payload in self._iter_row_blocks(
+            bucket.rows if rows is None else rows
+        ):
+            if kind == "single":
+                spec = payload
+                a, g = sub_batch(
+                    _get_path(acts, spec.path)["a"],
+                    _get_path(gs, spec.path)["p"],
+                )
+                key = self._factor_batch_key(spec, a, g)
+                if run and key != run_key:
+                    flush()
+                run.append((spec, a, g))
+                run_key = key
+                continue
+            flush()
+            if kind == "pad":
+                pos += payload  # pad rows: EMA(I, I) = I — untouched
+            else:
+                specs = payload
+                s0 = specs[0]
+                ng = s0.n_groups
+                a, g = sub_batch(
+                    _get_path(acts, s0.path)["a"],
+                    _get_path(gs, s0.path)["p"],
+                )
+                cg = a.shape[-1] // ng
+                og = s0.out_dim
+                a_g = jnp.moveaxis(
+                    a.reshape(a.shape[:-1] + (ng, cg)), -2, 0
+                )
+                g_g = jnp.moveaxis(
+                    g.reshape(g.shape[:-1] + (ng, og)), -2, 0
+                )
+                fa = jax.vmap(
+                    lambda ax: fops.compute_a_conv(
+                        ax, s0.kernel_size, s0.strides, s0.padding,
+                        s0.has_bias, precision=prec, dtype=fdt,
+                    )
+                )(a_g)
+                fg = jax.vmap(
+                    lambda gx: fops.compute_g_conv(gx, precision=prec,
+                                                   dtype=fdt)
+                )(g_g)
+                emit(fa, fg)
+        flush()
+        return new_a, new_g
 
     # ------------------------------------------------- stack / unstack
 
@@ -760,8 +892,42 @@ class BlockKFAC:
                     and n_shards > 1
                     and cfg.owner_only_factors
                 )
+                blockwise = cfg.factor_ema_blockwise and (
+                    axis is None or owner_only
+                )
+
+                def fac_update_blockwise():
+                    """Fresh factors EMA'd straight into state sub-blocks
+                    (no embedded/concatenated fresh copy — see
+                    _ema_bucket_factors)."""
+                    if owner_only:
+                        def make_branch(shard):
+                            def branch():
+                                outs = []
+                                for b_idx, b in enumerate(self.buckets):
+                                    blk = b.n_rows // n_shards
+                                    sub = b.rows[shard * blk:(shard + 1) * blk]
+                                    st = state["buckets"][b_idx]
+                                    outs.append(self._ema_bucket_factors(
+                                        b, acts, gs, st["A"], st["G"],
+                                        cfg.factor_decay, rows=sub))
+                                return outs
+                            return branch
+
+                        return jax.lax.switch(
+                            idx, [make_branch(s) for s in range(n_shards)]
+                        )
+                    outs = []
+                    for b_idx, b in enumerate(self.buckets):
+                        st = state["buckets"][b_idx]
+                        outs.append(self._ema_bucket_factors(
+                            b, acts, gs, st["A"], st["G"],
+                            cfg.factor_decay))
+                    return outs
 
                 def fac_update():
+                    if blockwise:
+                        return fac_update_blockwise()
                     if owner_only:
                         # Each device computes ONLY its owned rows' factor
                         # GEMMs: one lax.switch branch per shard, each with

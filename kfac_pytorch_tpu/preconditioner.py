@@ -234,6 +234,12 @@ class KFACConfig:
     # Cotangent rows are rescaled by 1/frac so the batch-mean loss scaling
     # stays exact (the reference's local loss is a local-batch mean).
     factor_batch_frac: float = 1.0
+    # EMA fresh factors directly into state sub-blocks (BlockKFAC, dp/
+    # single-program): no identity-embedded fresh copy, no concat — cuts
+    # several GB/step of padded-state traffic at TCov=1 (RN50 factor state
+    # is ~617 MB). Mathematically identical to the concat path (pad rows
+    # satisfy EMA(I, I) = I); False restores concat-then-EMA for A/B.
+    factor_ema_blockwise: bool = True
 
     @property
     def _factor_dtype(self):

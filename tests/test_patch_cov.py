@@ -186,3 +186,52 @@ def test_compute_a_conv_taps_impl_matches_xla():
             )
     # bf16 GEMM inputs in the kernel vs f32 XLA: loose tolerance
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-2, atol=2e-3)
+
+
+@pytest.mark.parametrize(
+    "b,h,w,c,k,s,p",
+    [
+        # RN50 stem geometry (scaled down): 7x7 stride-2 pad-3, c=3
+        (2, 15, 15, 3, 7, 2, 3),
+        # Inception/MobileNet-style 3x3 stride-2 stem
+        (2, 14, 14, 3, 3, 2, 1),
+        # stride-2 with c already sublane-aligned (no channel padding)
+        (1, 12, 12, 8, 3, 2, 1),
+        # anisotropic strides
+        (2, 13, 11, 4, 5, (2, 1), 2),
+    ],
+)
+def test_patch_cov_polyphase_matches_materialized(b, h, w, c, k, s, p):
+    """The polyphase transform (strided im2col -> unit-stride im2col of
+    the phase-packed tensor + feature gather) must reproduce the
+    materialized strided X^T X exactly."""
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    s = (s, s) if isinstance(s, int) else s
+    pad = ((p, p), (p, p))
+    assert pcov.polyphase_supported((b, h, w, c), (k, k), s, pad)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            pcov.patch_cov_polyphase(a, (k, k), s, pad,
+                                     compute_dtype=jnp.float32)
+        )
+    x = np.asarray(
+        fops.extract_patches(a, (k, k), s, pad)
+    ).reshape(-1, k * k * c)
+    np.testing.assert_allclose(got, x.T @ x, rtol=1e-5, atol=1e-4)
+
+
+def test_polyphase_gates():
+    # unit stride: not a polyphase case (the direct kernels own it)
+    assert not pcov.polyphase_supported((2, 8, 8, 64), (3, 3), (1, 1))
+    # the real RN50 stem shape must be feasible
+    assert pcov.polyphase_supported(
+        (32, 224, 224, 3), (7, 7), (2, 2), ((3, 3), (3, 3))
+    )
+    # resolve dispatch: stem -> pallas_poly on TPU backends only
+    impl = fops.resolve_a_conv_impl(
+        (32, 224, 224, 3), (7, 7), (2, 2), ((3, 3), (3, 3)), "auto"
+    )
+    assert impl in ("xla", "pallas_poly")  # backend-dependent
+    if jax.default_backend() == "tpu":
+        assert impl == "pallas_poly"
