@@ -167,7 +167,7 @@ def _build(model_name, batch, image, num_classes):
             # local-batch semantics: 1/N matches the per-device factor
             # workload of an N-way mesh; see KFACConfig.factor_batch_frac)
             factor_batch_frac=_env_f("KFB_FACTOR_FRAC", 1.0),
-            factor_ema_blockwise=bool(_env_i("KFB_EMA_BLOCKWISE", 1)),
+            factor_ema_blockwise=bool(_env_i("KFB_EMA_BLOCKWISE", 0)),
             factor_dtype=os.environ.get("KFB_FDTYPE", "float32"),
             symeig_impl=os.environ.get("KFB_SYMEIG", "xla"),
             tracking_warmup=_env_i("KFB_TRACK_WARMUP", 1),

@@ -300,6 +300,7 @@ def resolve_a_conv_impl(
     callers batching same-shape layers can decide ONCE per shape whether the
     group is vmappable (XLA path) or must run the fused kernel per row."""
     b, h, w, c = shape
+    was_auto = impl == "auto"
     if impl == "auto":
         # Measured dispatch policy (v5e, long warm chained probes, bs32
         # RN50 3x3 shapes, VMEM-sized single/multi column-chunk kernel):
@@ -330,9 +331,15 @@ def resolve_a_conv_impl(
 
             if pcov.supported(shape, kernel_size, strides, padding):
                 return "pallas"
-            # strided geometries (stems): unit-stride kernel via the
-            # polyphase transform (ops/pallas/patch_cov.py)
-            if pcov.polyphase_supported(
+            # Strided geometries: unit-stride kernel via the polyphase
+            # transform (ops/pallas/patch_cov.py). EXPLICIT opt-in only —
+            # the packed Gram computes (n_di*n_dj*cpk)^2 entries against
+            # the true d^2 (3.16x wasted flops at k3-s2), and the one
+            # traffic-bound geometry where that trade could pay (the c=3
+            # 7x7-s2 stem) packs to cpk=16, whose 8x lane padding blows
+            # the scoped-VMEM limit (the round-3 compile failure at
+            # bs32/224). 'auto' keeps strided layers on the XLA path.
+            if not was_auto and pcov.polyphase_supported(
                 shape, kernel_size, strides, padding
             ):
                 return "pallas_poly"

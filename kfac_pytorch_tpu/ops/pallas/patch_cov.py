@@ -177,10 +177,28 @@ def _pairs_kernel(a_ref, out_ref, xcat_ref, *, kh, kw, sh, sw, oh, ow, c,
             out_ref[p] += acc
 
 
-# Leave headroom under the ~16 MB/core scoped-VMEM limit for lane-padding
-# of non-128-multiple dims and compiler temporaries (measured: an 11 MB
-# nominal budget compiled to a 20.7 MB scoped allocation and was rejected).
+# Leave headroom under the ~16 MB/core scoped-VMEM limit for compiler
+# temporaries (measured: an 11 MB nominal budget compiled to a 20.7 MB
+# scoped allocation and was rejected — before _pad_bytes modeled the
+# Mosaic tile padding that made up most of that gap).
 _VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _pad_bytes(shape, itemsize):
+    """VMEM bytes of one block after Mosaic tile padding: the minor dim
+    pads to 128 lanes, the second-minor to the dtype sublane multiple
+    (f32 8, bf16 16). This is what the scoped-VMEM accountant charges —
+    a (bc, 115, 115, 16) f32 stem-polyphase block is 7.1 MB/buffer, 8x
+    its nominal size (measured: the un-padded estimate under-counted a
+    19.6 MB kernel as ~7.5 MB and compile failed on the 16 MB limit)."""
+    sub = 32 // itemsize
+    shape = tuple(shape)
+    minor = -(-shape[-1] // 128) * 128
+    second = -(-shape[-2] // sub) * sub if len(shape) >= 2 else 1
+    lead = 1
+    for s in shape[:-2]:
+        lead *= s
+    return lead * second * minor * itemsize
 
 
 def _pick_chunks(b, oh, ow, hp, wp, c, d, itemsize):
@@ -194,7 +212,7 @@ def _pick_chunks(b, oh, ow, hp, wp, c, d, itemsize):
     c=128 28x28 layer re-read its tile 9x and LOSE to XLA's materialized
     path (bench_ops --op factor_a); sizing the chunk to VMEM gives
     n_cols=1 for D<=1152 and 2-12 above."""
-    tile = hp * wp * c * 4  # f32 input tile per batch element
+    tile = _pad_bytes((hp, wp, c), 4)  # f32 input tile per batch element
     # candidate widths: full D, else 128-multiples dividing D (Mosaic lane
     # rule: last dim is a multiple of 128 or the full array dim)
     cands = [d] + [w for w in range(d - d % 128, 127, -128) if d % w == 0]
@@ -203,7 +221,8 @@ def _pick_chunks(b, oh, ow, hp, wp, c, d, itemsize):
         # stays VMEM-resident; multi-chunk outputs are double-buffered by
         # Mosaic (measured: c=256 c_chunk=768 compiled to a 22.9 MB scoped
         # allocation, ~2x the block's nominal 7.1 MB + scratch)
-        out_bytes = d * c_chunk * 4 * (1 if c_chunk == d else 2)
+        out_bytes = (_pad_bytes((d, c_chunk), 4)
+                     * (1 if c_chunk == d else 2))
         if out_bytes >= _VMEM_BUDGET:
             continue
         best_bc = 0
@@ -211,8 +230,8 @@ def _pick_chunks(b, oh, ow, hp, wp, c, d, itemsize):
             if b % bc:
                 continue
             # input block counted twice: Mosaic double-buffers grid inputs
-            if (bc * oh * ow * d * itemsize + out_bytes + 2 * bc * tile
-                    <= _VMEM_BUDGET):
+            if (_pad_bytes((bc * oh * ow, d), itemsize) + out_bytes
+                    + 2 * bc * tile <= _VMEM_BUDGET):
                 best_bc = bc
         if best_bc:
             return c_chunk, best_bc
@@ -224,16 +243,16 @@ def _pick_tri(b, oh, ow, hp, wp, c, d, itemsize):
     (Dp, Dp) output resident, X_cat widened to Dp), or None if it cannot
     fit VMEM."""
     dpad = -(-d // 128) * 128
-    tile = hp * wp * c * 4
-    out_bytes = dpad * dpad * 4
+    tile = _pad_bytes((hp, wp, c), 4)
+    out_bytes = _pad_bytes((dpad, dpad), 4)
     if out_bytes >= _VMEM_BUDGET:
         return None
     best_bc = 0
     for bc in range(1, b + 1):
         if b % bc:
             continue
-        if (bc * oh * ow * dpad * itemsize + out_bytes + 2 * bc * tile
-                <= _VMEM_BUDGET):
+        if (_pad_bytes((bc * oh * ow, dpad), itemsize) + out_bytes
+                + 2 * bc * tile <= _VMEM_BUDGET):
             best_bc = bc
     return best_bc or None
 
@@ -251,15 +270,15 @@ def _pick_pairs(b, oh, ow, hp, wp, c, d, itemsize):
     remainder (fewer pallas calls = less tile re-streaming, secondary)."""
     if c % 128 != 0:
         return None
-    tile = hp * wp * c * 4
-    out_blk = c * c * 4
+    tile = _pad_bytes((hp, wp, c), 4)
+    out_blk = _pad_bytes((c, c), 4)
     n_taps = d // c
     n_pairs = n_taps * (n_taps + 1) // 2
     best = None
     for bc in range(b, 0, -1):
         if b % bc:
             continue
-        used = bc * oh * ow * d * itemsize + 2 * bc * tile
+        used = _pad_bytes((bc * oh * ow, d), itemsize) + 2 * bc * tile
         chunk = min(n_pairs, int((_VMEM_BUDGET - used) // out_blk))
         if chunk < 1:
             continue

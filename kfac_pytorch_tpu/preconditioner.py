@@ -235,11 +235,15 @@ class KFACConfig:
     # stays exact (the reference's local loss is a local-batch mean).
     factor_batch_frac: float = 1.0
     # EMA fresh factors directly into state sub-blocks (BlockKFAC, dp/
-    # single-program): no identity-embedded fresh copy, no concat — cuts
-    # several GB/step of padded-state traffic at TCov=1 (RN50 factor state
-    # is ~617 MB). Mathematically identical to the concat path (pad rows
-    # satisfy EMA(I, I) = I); False restores concat-then-EMA for A/B.
-    factor_ema_blockwise: bool = True
+    # single-program): no identity-embedded fresh copy, no concat.
+    # Mathematically identical to the concat path (pad rows satisfy
+    # EMA(I, I) = I; parity-tested). Default OFF: on-chip A/B at the RN50
+    # bs32/224 headline shows the per-run dynamic-update-slice chains
+    # compile to a pathological schedule — 37.8x SGD vs the concat path's
+    # 1.97x (five reproductions). The one run that credited it with
+    # 1.90x was compiled alongside the since-removed stem polyphase
+    # kernel and is not reproducible (BENCH_NOTES round 3, continued).
+    factor_ema_blockwise: bool = False
 
     @property
     def _factor_dtype(self):

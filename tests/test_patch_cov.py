@@ -224,14 +224,32 @@ def test_patch_cov_polyphase_matches_materialized(b, h, w, c, k, s, p):
 def test_polyphase_gates():
     # unit stride: not a polyphase case (the direct kernels own it)
     assert not pcov.polyphase_supported((2, 8, 8, 64), (3, 3), (1, 1))
-    # the real RN50 stem shape must be feasible
-    assert pcov.polyphase_supported(
+    # The real RN50 stem packs to cpk=16 — 8x lane padding makes its
+    # input blocks 7.1 MB/buffer and the kernel 19.6 MB scoped VMEM
+    # (measured compile failure on v5e's 16 MB limit) — so the gate
+    # must REJECT it now that _pad_bytes models Mosaic tile padding.
+    assert not pcov.polyphase_supported(
         (32, 224, 224, 3), (7, 7), (2, 2), ((3, 3), (3, 3))
     )
-    # resolve dispatch: stem -> pallas_poly on TPU backends only
+    # lane-friendly packed channels (cpk = 4c, 128-multiple) stay
+    # feasible for explicit opt-in
+    assert pcov.polyphase_supported(
+        (32, 56, 56, 128), (3, 3), (2, 2), ((1, 1), (1, 1))
+    )
+    # 'auto' never routes strided layers to polyphase (3.16x wasted
+    # Gram flops at k3-s2) — the stem stays on the XLA path
     impl = fops.resolve_a_conv_impl(
         (32, 224, 224, 3), (7, 7), (2, 2), ((3, 3), (3, 3)), "auto"
     )
-    assert impl in ("xla", "pallas_poly")  # backend-dependent
-    if jax.default_backend() == "tpu":
-        assert impl == "pallas_poly"
+    assert impl == "xla"
+    impl = fops.resolve_a_conv_impl(
+        (32, 56, 56, 128), (3, 3), (2, 2), ((1, 1), (1, 1)), "auto"
+    )
+    assert impl == "xla"
+    # explicit 'pallas' on a lane-friendly strided layer opts in to the
+    # polyphase route on TPU (falls back to xla elsewhere)
+    impl = fops.resolve_a_conv_impl(
+        (32, 56, 56, 128), (3, 3), (2, 2), ((1, 1), (1, 1)), "pallas"
+    )
+    assert impl == ("pallas_poly" if jax.default_backend() == "tpu"
+                    else "xla")

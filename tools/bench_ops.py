@@ -418,11 +418,19 @@ def bench_factor_a(results, batch=32, impls=("xla", "pallas", "taps")):
     shapes = [(64, 56, 56, 3, 1), (128, 28, 28, 3, 1), (256, 14, 14, 3, 1),
               (512, 7, 7, 3, 1),
               # the stem: 7x7 stride-2 on 3 channels — no Pallas support
-              # (c < lanes, strided), but its im2col is the single largest
+              # (its polyphase packing is cpk=16, 8x lane padding: scoped
+              # VMEM infeasible), but its im2col is the single largest
               # patch materialization left (B*112^2 x 147 rows); the bf16
               # arm measures casting the materialized patches before the
               # GEMM (halves that buffer)
-              (3, 224, 224, 7, 2)]
+              (3, 224, 224, 7, 2),
+              # RN50 downsampling 3x3-s2 layers: explicit impl='pallas'
+              # routes these through the polyphase transform
+              # (pallas_poly) — measured against XLA to calibrate the
+              # auto gate (polyphase Grams carry 3.16x wasted flops at
+              # k3-s2; 'auto' keeps them on XLA unless these rows say
+              # otherwise)
+              (128, 56, 56, 3, 2), (256, 28, 28, 3, 2), (512, 14, 14, 3, 2)]
     rng = np.random.RandomState(0)
     totals = {impl: 0.0 for impl in impls}
     totals["xla_bf16"] = 0.0
