@@ -169,6 +169,12 @@ def _build(model_name, batch, image, num_classes):
             factor_batch_frac=_env_f("KFB_FACTOR_FRAC", 1.0),
             factor_ema_blockwise=bool(_env_i("KFB_EMA_BLOCKWISE", 0)),
             factor_dtype=os.environ.get("KFB_FDTYPE", "float32"),
+            # bf16 factor-state STORAGE: halves the EMA + fresh-concat
+            # state traffic (the batch-independent factor-stage cost the
+            # factor_batch_frac probe isolated); the fused CG never
+            # re-reads A/G, so only the EMA rounding (~bf16 eps/step,
+            # non-compounding) differs from f32
+            factor_state_dtype=os.environ.get("KFB_SDTYPE", "float32"),
             symeig_impl=os.environ.get("KFB_SYMEIG", "xla"),
             tracking_warmup=_env_i("KFB_TRACK_WARMUP", 1),
             tracking_exact_freq=_env_i("KFB_TRACK_EXACT", 50),

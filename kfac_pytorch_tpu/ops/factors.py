@@ -452,5 +452,9 @@ def compute_g_conv(
 
 
 def ema_update(new: jax.Array, cur: jax.Array, alpha) -> jax.Array:
-    """Running average: alpha*new + (1-alpha)*cur (reference utils.py:66-71)."""
-    return alpha * new + (1.0 - alpha) * cur
+    """Running average: alpha*new + (1-alpha)*cur (reference utils.py:66-71).
+
+    Preserves ``cur``'s dtype: with bf16-stored factor state
+    (factor_state_dtype) and f32 fresh estimates the blend computes in the
+    promoted f32 and rounds once on store."""
+    return (alpha * new + (1.0 - alpha) * cur).astype(cur.dtype)

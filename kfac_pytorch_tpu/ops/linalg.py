@@ -33,8 +33,14 @@ def pi_trace_norm(a: jax.Array, g: jax.Array) -> jax.Array:
 
     (Reference: /root/reference/kfac/kfac_preconditioner_inv.py:121.)
     """
-    tr_a = jnp.trace(a, axis1=-2, axis2=-1) / a.shape[-1]
-    tr_g = jnp.trace(g, axis1=-2, axis2=-1) / g.shape[-1]
+    # f32 diagonal sums: with bf16-stored factors a bf16 reduce over a
+    # 4608-long diagonal loses the trace's low bits
+    tr_a = jnp.sum(
+        jnp.diagonal(a, axis1=-2, axis2=-1).astype(jnp.float32), axis=-1
+    ) / a.shape[-1]
+    tr_g = jnp.sum(
+        jnp.diagonal(g, axis1=-2, axis2=-1).astype(jnp.float32), axis=-1
+    ) / g.shape[-1]
     return jnp.sqrt(tr_a / tr_g)
 
 
@@ -43,6 +49,11 @@ def cholesky_inverse(x: jax.Array) -> jax.Array:
 
     (Reference ``mat_inv`` 'cholesky' method, utils.py:11-16.)
     """
+    if x.dtype in (jnp.bfloat16, jnp.float16):
+        # half-precision factor storage: the decomposition itself needs
+        # f32 (bf16 triangular solves lose the inverse's low bits and
+        # XLA's cholesky expects a float32/float64 operand)
+        x = x.astype(jnp.float32)
     n = x.shape[-1]
     chol = jnp.linalg.cholesky(x)
     eye = jnp.broadcast_to(jnp.eye(n, dtype=x.dtype), x.shape)

@@ -31,7 +31,9 @@ from kfac_pytorch_tpu.ops import linalg as lops
 def _masked_diag_mean(m: jax.Array, real_d) -> jax.Array:
     """Mean of the first ``real_d`` diagonal entries of each (d, d) block —
     the identity-padding-exact form of trace(real block)/real_d."""
-    diag = jnp.diagonal(m, axis1=-2, axis2=-1)
+    # f32 sum regardless of storage dtype (bf16-stored factors would
+    # otherwise accumulate the trace in a bf16 reduce)
+    diag = jnp.diagonal(m, axis1=-2, axis2=-1).astype(jnp.float32)
     idx = jnp.arange(m.shape[-1])
     mask = idx < jnp.asarray(real_d)[..., None]
     return jnp.sum(jnp.where(mask, diag, 0.0), axis=-1) / real_d
@@ -42,8 +44,12 @@ def _pi_shifts(a, g, damping, real_da=None, real_dg=None):
     traces (reference inv.py:121-128; identity-padding-exact)."""
     da, dg = a.shape[-1], g.shape[-1]
     if real_da is None:
-        tr_a = jnp.trace(a, axis1=-2, axis2=-1) / da
-        tr_g = jnp.trace(g, axis1=-2, axis2=-1) / dg
+        tr_a = jnp.sum(
+            jnp.diagonal(a, axis1=-2, axis2=-1).astype(jnp.float32), axis=-1
+        ) / da
+        tr_g = jnp.sum(
+            jnp.diagonal(g, axis1=-2, axis2=-1).astype(jnp.float32), axis=-1
+        ) / dg
     else:
         tr_a = _masked_diag_mean(a, real_da)
         tr_g = _masked_diag_mean(g, real_dg)
@@ -153,8 +159,12 @@ def damped_cholesky_factors(
     """
     da, dg = a.shape[-1], g.shape[-1]
     if real_da is None:
-        tr_a = jnp.trace(a, axis1=-2, axis2=-1) / da
-        tr_g = jnp.trace(g, axis1=-2, axis2=-1) / dg
+        tr_a = jnp.sum(
+            jnp.diagonal(a, axis1=-2, axis2=-1).astype(jnp.float32), axis=-1
+        ) / da
+        tr_g = jnp.sum(
+            jnp.diagonal(g, axis1=-2, axis2=-1).astype(jnp.float32), axis=-1
+        ) / dg
     else:
         # real-block trace via a masked diagonal sum — NOT trace(padded) -
         # pad_count: the f32 factor EMA drifts pad-diagonal entries off

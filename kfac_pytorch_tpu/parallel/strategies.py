@@ -209,12 +209,13 @@ class BlockKFAC:
     # ------------------------------------------------------------- state
 
     def init_state(self) -> Dict[str, Any]:
+        sdt = self.config._factor_state_dtype
         buckets = []
         for b in self.buckets:
             L, da, dg = b.n_rows, b.da, b.dg
             entry = {
-                "A": jnp.broadcast_to(jnp.eye(da), (L, da, da)),
-                "G": jnp.broadcast_to(jnp.eye(dg), (L, dg, dg)),
+                "A": jnp.broadcast_to(jnp.eye(da, dtype=sdt), (L, da, da)),
+                "G": jnp.broadcast_to(jnp.eye(dg, dtype=sdt), (L, dg, dg)),
             }
             if self.config.inv_type == EIGEN:
                 if self.config.symeig_impl == "tracking":
@@ -385,6 +386,7 @@ class BlockKFAC:
         prec = self.config.precision
         fdt = self.config._factor_dtype
         cfg = self.config
+        sdt = cfg._factor_state_dtype
         a_list, g_list = [], []
         run: List[tuple] = []  # consecutive (spec, a, g) with equal keys
         run_key = None
@@ -406,12 +408,14 @@ class BlockKFAC:
             for s, a, g in items:
                 a_list.append(
                     _embed_eye(
-                        compute_factor_a(s, a, prec, fdt, a_impl), bucket.da
+                        compute_factor_a(s, a, prec, fdt, a_impl).astype(sdt),
+                        bucket.da,
                     )[None]
                 )
                 g_list.append(
                     _embed_eye(
-                        compute_factor_g(s, g, prec, fdt), bucket.dg
+                        compute_factor_g(s, g, prec, fdt).astype(sdt),
+                        bucket.dg,
                     )[None]
                 )
 
@@ -445,8 +449,8 @@ class BlockKFAC:
             fg = jax.vmap(
                 lambda gx: compute_factor_g(s0, gx, prec, fdt)
             )(jnp.stack([g for _, _, g in items]))
-            a_list.append(_embed_eye_batched(fa, bucket.da))
-            g_list.append(_embed_eye_batched(fg, bucket.dg))
+            a_list.append(_embed_eye_batched(fa.astype(sdt), bucket.da))
+            g_list.append(_embed_eye_batched(fg.astype(sdt), bucket.dg))
 
         for kind, payload in self._iter_row_blocks(
             bucket.rows if rows is None else rows
@@ -466,10 +470,12 @@ class BlockKFAC:
             flush()
             if kind == "pad":
                 a_list.append(jnp.broadcast_to(
-                    jnp.eye(bucket.da), (payload, bucket.da, bucket.da)
+                    jnp.eye(bucket.da, dtype=sdt),
+                    (payload, bucket.da, bucket.da),
                 ))
                 g_list.append(jnp.broadcast_to(
-                    jnp.eye(bucket.dg), (payload, bucket.dg, bucket.dg)
+                    jnp.eye(bucket.dg, dtype=sdt),
+                    (payload, bucket.dg, bucket.dg),
                 ))
             else:  # grouped module: vmap over the group axis
                 specs = payload
@@ -498,8 +504,8 @@ class BlockKFAC:
                     lambda gx: fops.compute_g_conv(gx, precision=prec,
                                                    dtype=fdt)
                 )(g_g)
-                a_list.append(_embed_eye_batched(fa, bucket.da))
-                g_list.append(_embed_eye_batched(fg, bucket.dg))
+                a_list.append(_embed_eye_batched(fa.astype(sdt), bucket.da))
+                g_list.append(_embed_eye_batched(fg.astype(sdt), bucket.dg))
         flush()
         fa_all = jnp.concatenate(a_list) if len(a_list) > 1 else a_list[0]
         fg_all = jnp.concatenate(g_list) if len(g_list) > 1 else g_list[0]
@@ -856,10 +862,11 @@ class BlockKFAC:
                 # (collectives can't live under data-dependent control
                 # flow), EMA where-masked.
                 def zeros_all():
+                    sdt = cfg._factor_state_dtype
                     return [
                         (
-                            jnp.zeros((b.n_rows, b.da, b.da)),
-                            jnp.zeros((b.n_rows, b.dg, b.dg)),
+                            jnp.zeros((b.n_rows, b.da, b.da), sdt),
+                            jnp.zeros((b.n_rows, b.dg, b.dg), sdt),
                         )
                         for b in self.buckets
                     ]
@@ -1008,20 +1015,20 @@ class BlockKFAC:
                             # (XLA conditionals execute one branch).
                             def track(e=e, st=st):
                                 da_, qa = tracking_symeig_update(
-                                    e["A"], st["QA"],
+                                    e["A"].astype(jnp.float32), st["QA"],
                                     iters=cfg.tracking_iters, eps=cfg.eps,
                                     precision=cfg._tracking_precision,
                                 )
                                 dg_, qg = tracking_symeig_update(
-                                    e["G"], st["QG"],
+                                    e["G"].astype(jnp.float32), st["QG"],
                                     iters=cfg.tracking_iters, eps=cfg.eps,
                                     precision=cfg._tracking_precision,
                                 )
                                 return da_, qa, dg_, qg
 
                             def exact(e=e):
-                                da_, qa = cfg.symeig(e["A"])
-                                dg_, qg = cfg.symeig(e["G"])
+                                da_, qa = cfg.symeig(e["A"].astype(jnp.float32))
+                                dg_, qg = cfg.symeig(e["G"].astype(jnp.float32))
                                 return da_, qa, dg_, qg
 
                             use_exact = (step < cfg.tracking_warmup) | (
@@ -1034,8 +1041,8 @@ class BlockKFAC:
                                 jax.lax.cond(use_exact, exact, track)
                             )
                         else:
-                            da_, qa = cfg.symeig(e["A"])
-                            dg_, qg = cfg.symeig(e["G"])
+                            da_, qa = cfg.symeig(e["A"].astype(jnp.float32))
+                            dg_, qg = cfg.symeig(e["G"].astype(jnp.float32))
                             outs.append((da_, qa, dg_, qg))
                     return outs
 

@@ -244,6 +244,24 @@ class KFACConfig:
     # 1.90x was compiled alongside the since-removed stem polyphase
     # kernel and is not reproducible (BENCH_NOTES round 3, continued).
     factor_ema_blockwise: bool = False
+    # STORAGE dtype of the factor EMA state A/G ('float32' default,
+    # matching the reference's fp32 running factors, utils.py:66-71;
+    # 'bfloat16' halves the dominant per-step factor-state HBM traffic).
+    # With the fused CG the solve never re-reads A/G (it reads the
+    # pcg_dtype-stored inverses), so the state is touched by exactly the
+    # paths bf16 storage is safe for: the EMA read/write (rounding noise
+    # is O(bf16 eps) per step, non-compounding — the EMA is a contraction
+    # toward the fresh estimate), the refresh (whose matmuls already run
+    # bf16 MXU passes at default precision, so bf16 operands change
+    # nothing), and trace/eigen consumers which upcast to f32 at the op
+    # (pi traces sum f32-cast diagonals; symeig casts its input).
+    factor_state_dtype: Any = "float32"
+
+    @property
+    def _factor_state_dtype(self):
+        import jax.numpy as _jnp
+
+        return _jnp.dtype(self.factor_state_dtype)
 
     @property
     def _factor_dtype(self):
@@ -441,11 +459,12 @@ class KFAC:
         """Factors initialized to identity (reference inv.py:84-90); inverse/
         eigen slots zero-initialized (inv.py:112-116, eigen.py:101-107)."""
         layers = {}
+        sdt = self.config._factor_state_dtype
         for s in self.specs:
             da, dg = s.grad_in_dim, s.out_dim
             entry = {
-                "A": jnp.eye(da, dtype=jnp.float32),
-                "G": jnp.eye(dg, dtype=jnp.float32),
+                "A": jnp.eye(da, dtype=sdt),
+                "G": jnp.eye(dg, dtype=sdt),
             }
             if self.config.inv_type == EIGEN:
                 if self.config.symeig_impl == "tracking":
@@ -609,20 +628,22 @@ class KFAC:
                             # per-step drift afterwards
                             def track(entry=entry, st=st):
                                 dA, QA = tracking_symeig_update(
-                                    entry["A"], st["QA"],
+                                    entry["A"].astype(jnp.float32), st["QA"],
                                     iters=cfg.tracking_iters, eps=cfg.eps,
                                     precision=cfg._tracking_precision,
                                 )
                                 dG, QG = tracking_symeig_update(
-                                    entry["G"], st["QG"],
+                                    entry["G"].astype(jnp.float32), st["QG"],
                                     iters=cfg.tracking_iters, eps=cfg.eps,
                                     precision=cfg._tracking_precision,
                                 )
                                 return dA, QA, dG, QG
 
                             def exact(entry=entry):
-                                dA, QA = cfg.symeig(entry["A"])
-                                dG, QG = cfg.symeig(entry["G"])
+                                dA, QA = cfg.symeig(
+                                    entry["A"].astype(jnp.float32))
+                                dG, QG = cfg.symeig(
+                                    entry["G"].astype(jnp.float32))
                                 return dA, QA, dG, QG
 
                             use_exact = (step < cfg.tracking_warmup) | (
@@ -632,8 +653,8 @@ class KFAC:
                                 ) == 0)
                             )
                             return jax.lax.cond(use_exact, exact, track)
-                        dA, QA = cfg.symeig(entry["A"])
-                        dG, QG = cfg.symeig(entry["G"])
+                        dA, QA = cfg.symeig(entry["A"].astype(jnp.float32))
+                        dG, QG = cfg.symeig(entry["G"].astype(jnp.float32))
                         return dA, QA, dG, QG
 
                     entry["dA"], entry["QA"], entry["dG"], entry["QG"] = jax.lax.cond(
