@@ -105,7 +105,7 @@ def run_arm(variant, x, y, xv, yv, steps, batch, lr, damping, seed,
 
     kfac, perturbs = None, None
     bucketed_arm = variant in ("pcg_warm_dp", "pcg_cold_dp", "pcg_bf16_dp",
-                               "pcg_prod_dp", "pcg_frac_dp")
+                               "pcg_prod_dp", "pcg_frac_dp", "pcg_sdt_dp")
     if variant != "sgd":
         specs, perturbs = ktpu.setup_kfac(
             model, {"params": params, **model_state}, sample, train=True
@@ -127,7 +127,7 @@ def run_arm(variant, x, y, xv, yv, steps, batch, lr, damping, seed,
             from kfac_pytorch_tpu.preconditioner import KFACConfig
 
             warm = variant in ("pcg_warm_dp", "pcg_bf16_dp",
-                               "pcg_prod_dp", "pcg_frac_dp")
+                               "pcg_prod_dp", "pcg_frac_dp", "pcg_sdt_dp")
             extra = {}
             if prec_freq is not None:
                 extra["pcg_precond_freq"] = prec_freq
@@ -142,6 +142,13 @@ def run_arm(variant, x, y, xv, yv, steps, batch, lr, damping, seed,
                 extra.update(pcg_precond_dtype="bfloat16",
                              pcg_fused="force", pcg_refresh="ns",
                              factor_dtype="auto")
+            if variant == "pcg_sdt_dp":
+                # production candidate + bf16 factor-STATE storage: the
+                # EMA'd A/G live in bfloat16 (KFACConfig.factor_state_dtype)
+                # — validates the rounding-perturbed factor trajectory
+                extra.update(pcg_precond_dtype="bfloat16",
+                             pcg_fused="force", pcg_refresh="ns",
+                             factor_state_dtype="bfloat16")
             if variant == "pcg_frac_dp":
                 # production candidate + quarter-batch factor statistics
                 # (the per-device factor workload of 4-way DP-KFAC)
