@@ -168,6 +168,9 @@ def _build(model_name, batch, image, num_classes):
             # workload of an N-way mesh; see KFACConfig.factor_batch_frac)
             factor_batch_frac=_env_f("KFB_FACTOR_FRAC", 1.0),
             factor_ema_blockwise=bool(_env_i("KFB_EMA_BLOCKWISE", 0)),
+            # 'concat' | 'fused_concat' | 'blockwise' (see KFACConfig);
+            # empty = resolve from KFB_EMA_BLOCKWISE
+            factor_ema_mode=os.environ.get("KFB_EMA") or None,
             factor_dtype=os.environ.get("KFB_FDTYPE", "float32"),
             # bf16 factor-state STORAGE: halves the EMA + fresh-concat
             # state traffic (the batch-independent factor-stage cost the

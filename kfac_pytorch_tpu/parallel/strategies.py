@@ -364,12 +364,16 @@ class BlockKFAC:
             spec.has_bias, spec.n_groups, spec.group_idx, a.shape, g.shape,
         )
 
-    def _fresh_bucket_factors(self, bucket: Bucket, acts, gs,
+    def _collect_fresh_blocks(self, bucket: Bucket, acts, gs,
                               rows: Optional[Tuple[int, ...]] = None):
-        """Stacked fresh factors [L, da, da]/[L, dg, dg].
+        """Fresh factor blocks for a bucket's rows, in row order, UNpadded.
 
-        ``rows``: compute only this static row subset (owner-only dp mode —
-        a device's own contiguous block); defaults to every bucket row.
+        Returns a list of ``('pad', pos, n)`` | ``('block', pos, fa, fg)``
+        entries where fa: (n, da_r, da_r), fg: (n, dg_r, dg_r) are the raw
+        fresh factor blocks (factor GEMM outputs, f32-accumulated, not yet
+        identity-embedded). ``rows``: compute only this static row subset
+        (owner-only dp mode — a device's own contiguous block); defaults to
+        every bucket row.
 
         Trace-time batching: CONSECUTIVE single rows sharing layer geometry
         and input shapes compute their factor GEMMs as one stacked vmapped
@@ -386,8 +390,8 @@ class BlockKFAC:
         prec = self.config.precision
         fdt = self.config._factor_dtype
         cfg = self.config
-        sdt = cfg._factor_state_dtype
-        a_list, g_list = [], []
+        blocks: List[tuple] = []
+        pos = 0
         run: List[tuple] = []  # consecutive (spec, a, g) with equal keys
         run_key = None
 
@@ -404,157 +408,10 @@ class BlockKFAC:
             k = max(int(b * frac), 1)
             return a[:k], g[:k] * (b / k)
 
-        def emit_per_row(items, a_impl):
-            for s, a, g in items:
-                a_list.append(
-                    _embed_eye(
-                        compute_factor_a(s, a, prec, fdt, a_impl).astype(sdt),
-                        bucket.da,
-                    )[None]
-                )
-                g_list.append(
-                    _embed_eye(
-                        compute_factor_g(s, g, prec, fdt).astype(sdt),
-                        bucket.dg,
-                    )[None]
-                )
-
-        def flush():
-            nonlocal run, run_key
-            if not run:
-                return
-            items, run, run_key = run, [], None
-            s0, a0, g0 = items[0]
-            a_impl = cfg.factor_impl
-            if s0.kind == CONV:
-                a_shape = list(a0.shape)
-                if s0.n_groups > 1:
-                    a_shape[-1] //= s0.n_groups
-                a_impl = fops.resolve_a_conv_impl(
-                    tuple(a_shape), s0.kernel_size, s0.strides, s0.padding,
-                    a_impl,
-                )
-            batchable = (
-                cfg.factor_batch
-                and len(items) > 1
-                and a_impl not in ("pallas", "taps", "pallas_poly")
-                and a0.nbytes + g0.nbytes <= cfg.factor_batch_max_bytes
-            )
-            if not batchable:
-                emit_per_row(items, a_impl)
-                return
-            fa = jax.vmap(
-                lambda ax: compute_factor_a(s0, ax, prec, fdt, a_impl)
-            )(jnp.stack([a for _, a, _ in items]))
-            fg = jax.vmap(
-                lambda gx: compute_factor_g(s0, gx, prec, fdt)
-            )(jnp.stack([g for _, _, g in items]))
-            a_list.append(_embed_eye_batched(fa.astype(sdt), bucket.da))
-            g_list.append(_embed_eye_batched(fg.astype(sdt), bucket.dg))
-
-        for kind, payload in self._iter_row_blocks(
-            bucket.rows if rows is None else rows
-        ):
-            if kind == "single":
-                spec = payload
-                a, g = sub_batch(
-                    _get_path(acts, spec.path)["a"],
-                    _get_path(gs, spec.path)["p"],
-                )
-                key = self._factor_batch_key(spec, a, g)
-                if run and key != run_key:
-                    flush()
-                run.append((spec, a, g))
-                run_key = key
-                continue
-            flush()
-            if kind == "pad":
-                a_list.append(jnp.broadcast_to(
-                    jnp.eye(bucket.da, dtype=sdt),
-                    (payload, bucket.da, bucket.da),
-                ))
-                g_list.append(jnp.broadcast_to(
-                    jnp.eye(bucket.dg, dtype=sdt),
-                    (payload, bucket.dg, bucket.dg),
-                ))
-            else:  # grouped module: vmap over the group axis
-                specs = payload
-                s0 = specs[0]
-                ng = s0.n_groups
-                a, g = sub_batch(
-                    _get_path(acts, s0.path)["a"],
-                    _get_path(gs, s0.path)["p"],
-                )
-                cg = a.shape[-1] // ng
-                og = s0.out_dim
-                # (B,H,W,g*cg) -> (g,B,H,W,cg); (B,oh,ow,g*og) -> (g,...,og)
-                a_g = jnp.moveaxis(
-                    a.reshape(a.shape[:-1] + (ng, cg)), -2, 0
-                )
-                g_g = jnp.moveaxis(
-                    g.reshape(g.shape[:-1] + (ng, og)), -2, 0
-                )
-                fa = jax.vmap(
-                    lambda ax: fops.compute_a_conv(
-                        ax, s0.kernel_size, s0.strides, s0.padding,
-                        s0.has_bias, precision=prec, dtype=fdt,
-                    )
-                )(a_g)  # grouped: per-group C is small; XLA path
-                fg = jax.vmap(
-                    lambda gx: fops.compute_g_conv(gx, precision=prec,
-                                                   dtype=fdt)
-                )(g_g)
-                a_list.append(_embed_eye_batched(fa.astype(sdt), bucket.da))
-                g_list.append(_embed_eye_batched(fg.astype(sdt), bucket.dg))
-        flush()
-        fa_all = jnp.concatenate(a_list) if len(a_list) > 1 else a_list[0]
-        fg_all = jnp.concatenate(g_list) if len(g_list) > 1 else g_list[0]
-        return fa_all, fg_all
-
-    def _ema_bucket_factors(self, bucket: Bucket, acts, gs, old_a, old_g,
-                            decay, rows: Optional[Tuple[int, ...]] = None):
-        """EMA the bucket's factor state DIRECTLY from fresh per-run blocks.
-
-        Equivalent to ``ema_update(_fresh_bucket_factors(...), old)`` but
-        without ever materializing the identity-embedded fresh copy or its
-        concatenation: each run's fresh (n, d, d) block EMAs into the
-        [pos:pos+n, :d, :d] slice of the state (static positions), pad rows
-        stay identity untouched (EMA(I, I) = I). For RN50 the padded state
-        is ~617 MB, so the embed + concat + full-state EMA path moves
-        several extra GB/step at TCov=1 — this is the state-traffic lever
-        the factor_batch_frac probe pointed at (BENCH_NOTES round 3).
-        Returns (new_a, new_g)."""
-        prec = self.config.precision
-        fdt = self.config._factor_dtype
-        cfg = self.config
-        new_a, new_g = old_a, old_g
-        pos = 0
-        run: List[tuple] = []
-        run_key = None
-
-        frac = cfg.factor_batch_frac
-
-        def sub_batch(a, g):
-            if frac >= 1.0:
-                return a, g
-            b = a.shape[0]
-            k = max(int(b * frac), 1)
-            return a[:k], g[:k] * (b / k)
-
         def emit(fa, fg):
-            """fa: (n, da_r, da_r), fg: (n, dg_r, dg_r) fresh blocks."""
-            nonlocal new_a, new_g, pos
-            n, da_r = fa.shape[0], fa.shape[-1]
-            dg_r = fg.shape[-1]
-            old_blk_a = jax.lax.slice(
-                new_a, (pos, 0, 0), (pos + n, da_r, da_r))
-            old_blk_g = jax.lax.slice(
-                new_g, (pos, 0, 0), (pos + n, dg_r, dg_r))
-            new_a = new_a.at[pos:pos + n, :da_r, :da_r].set(
-                fops.ema_update(fa, old_blk_a, decay))
-            new_g = new_g.at[pos:pos + n, :dg_r, :dg_r].set(
-                fops.ema_update(fg, old_blk_g, decay))
-            pos += n
+            nonlocal pos
+            blocks.append(("block", pos, fa, fg))
+            pos += fa.shape[0]
 
         def emit_per_row(items, a_impl):
             for s, a, g in items:
@@ -612,8 +469,9 @@ class BlockKFAC:
                 continue
             flush()
             if kind == "pad":
-                pos += payload  # pad rows: EMA(I, I) = I — untouched
-            else:
+                blocks.append(("pad", pos, payload))
+                pos += payload
+            else:  # grouped module: vmap over the group axis
                 specs = payload
                 s0 = specs[0]
                 ng = s0.n_groups
@@ -623,6 +481,7 @@ class BlockKFAC:
                 )
                 cg = a.shape[-1] // ng
                 og = s0.out_dim
+                # (B,H,W,g*cg) -> (g,B,H,W,cg); (B,oh,ow,g*og) -> (g,...,og)
                 a_g = jnp.moveaxis(
                     a.reshape(a.shape[:-1] + (ng, cg)), -2, 0
                 )
@@ -634,13 +493,115 @@ class BlockKFAC:
                         ax, s0.kernel_size, s0.strides, s0.padding,
                         s0.has_bias, precision=prec, dtype=fdt,
                     )
-                )(a_g)
+                )(a_g)  # grouped: per-group C is small; XLA path
                 fg = jax.vmap(
                     lambda gx: fops.compute_g_conv(gx, precision=prec,
                                                    dtype=fdt)
                 )(g_g)
                 emit(fa, fg)
         flush()
+        return blocks
+
+    def _fresh_bucket_factors(self, bucket: Bucket, acts, gs,
+                              rows: Optional[Tuple[int, ...]] = None):
+        """Stacked fresh factors [L, da, da]/[L, dg, dg] (identity-embedded
+        pad regions; pad rows = identity). See _collect_fresh_blocks for the
+        walking/batching rules."""
+        sdt = self.config._factor_state_dtype
+        a_list, g_list = [], []
+        for entry in self._collect_fresh_blocks(bucket, acts, gs, rows):
+            if entry[0] == "pad":
+                n = entry[2]
+                a_list.append(jnp.broadcast_to(
+                    jnp.eye(bucket.da, dtype=sdt),
+                    (n, bucket.da, bucket.da),
+                ))
+                g_list.append(jnp.broadcast_to(
+                    jnp.eye(bucket.dg, dtype=sdt),
+                    (n, bucket.dg, bucket.dg),
+                ))
+            else:
+                _, _pos, fa, fg = entry
+                a_list.append(_embed_eye_batched(fa.astype(sdt), bucket.da))
+                g_list.append(_embed_eye_batched(fg.astype(sdt), bucket.dg))
+        fa_all = jnp.concatenate(a_list) if len(a_list) > 1 else a_list[0]
+        fg_all = jnp.concatenate(g_list) if len(g_list) > 1 else g_list[0]
+        return fa_all, fg_all
+
+    def _ema_bucket_factors(self, bucket: Bucket, acts, gs, old_a, old_g,
+                            decay, rows: Optional[Tuple[int, ...]] = None,
+                            mode: str = "blockwise"):
+        """EMA the bucket's factor state DIRECTLY from fresh per-run blocks
+        (no identity-embedded fresh copy + full-state EMA pass — the
+        state-traffic lever the factor_batch_frac probe pointed at,
+        BENCH_NOTES round 3). Two materializations of the same math:
+
+        ``mode='fused_concat'``: each fresh block EMAs against its STATIC
+        slice of the old state and the results concatenate in row order —
+        purely functional, ONE state-sized write, the EMA arithmetic fuses
+        into the factor-GEMM epilogues. Pad rows/regions re-emit as exact
+        identity (EMA(I, I) = I; the concat path instead lets pad entries
+        drift by f32 EMA rounding — see ops/pcg._masked_diag_mean).
+
+        ``mode='blockwise'``: blocks write into the old state via .at[].set
+        update-slices (pad rows untouched). Measured pathological on v5e
+        (37.8x serialized schedule, BENCH_NOTES round 3 continued); kept as
+        a parity option.
+
+        Returns (new_a, new_g)."""
+        blocks = self._collect_fresh_blocks(bucket, acts, gs, rows)
+        sdt = self.config._factor_state_dtype
+        if mode == "fused_concat":
+            a_parts, g_parts = [], []
+            for entry in blocks:
+                if entry[0] == "pad":
+                    _, _pos, n = entry
+                    a_parts.append(jnp.broadcast_to(
+                        jnp.eye(bucket.da, dtype=sdt),
+                        (n, bucket.da, bucket.da),
+                    ))
+                    g_parts.append(jnp.broadcast_to(
+                        jnp.eye(bucket.dg, dtype=sdt),
+                        (n, bucket.dg, bucket.dg),
+                    ))
+                    continue
+                _, pos, fa, fg = entry
+                n, da_r = fa.shape[0], fa.shape[-1]
+                dg_r = fg.shape[-1]
+                old_blk_a = jax.lax.slice(
+                    old_a, (pos, 0, 0), (pos + n, da_r, da_r))
+                old_blk_g = jax.lax.slice(
+                    old_g, (pos, 0, 0), (pos + n, dg_r, dg_r))
+                a_parts.append(_embed_eye_batched(
+                    fops.ema_update(fa, old_blk_a, decay).astype(sdt),
+                    bucket.da,
+                ))
+                g_parts.append(_embed_eye_batched(
+                    fops.ema_update(fg, old_blk_g, decay).astype(sdt),
+                    bucket.dg,
+                ))
+            new_a = (jnp.concatenate(a_parts) if len(a_parts) > 1
+                     else a_parts[0])
+            new_g = (jnp.concatenate(g_parts) if len(g_parts) > 1
+                     else g_parts[0])
+            return new_a, new_g
+        if mode != "blockwise":
+            raise ValueError(f"unknown EMA mode {mode!r}")
+        new_a, new_g = old_a, old_g
+        for entry in blocks:
+            if entry[0] == "pad":
+                continue  # pad rows: EMA(I, I) = I — untouched
+            _, pos, fa, fg = entry
+            n, da_r = fa.shape[0], fa.shape[-1]
+            dg_r = fg.shape[-1]
+            old_blk_a = jax.lax.slice(
+                new_a, (pos, 0, 0), (pos + n, da_r, da_r))
+            old_blk_g = jax.lax.slice(
+                new_g, (pos, 0, 0), (pos + n, dg_r, dg_r))
+            new_a = new_a.at[pos:pos + n, :da_r, :da_r].set(
+                fops.ema_update(fa, old_blk_a, decay))
+            new_g = new_g.at[pos:pos + n, :dg_r, :dg_r].set(
+                fops.ema_update(fg, old_blk_g, decay))
         return new_a, new_g
 
     # ------------------------------------------------- stack / unstack
@@ -899,14 +860,15 @@ class BlockKFAC:
                     and n_shards > 1
                     and cfg.owner_only_factors
                 )
-                blockwise = cfg.factor_ema_blockwise and (
+                ema_mode = cfg._factor_ema_mode
+                direct_ema = ema_mode != "concat" and (
                     axis is None or owner_only
                 )
 
-                def fac_update_blockwise():
-                    """Fresh factors EMA'd straight into state sub-blocks
+                def fac_update_direct():
+                    """Fresh factors EMA'd straight against state sub-blocks
                     (no embedded/concatenated fresh copy — see
-                    _ema_bucket_factors)."""
+                    _ema_bucket_factors; mode = fused_concat | blockwise)."""
                     if owner_only:
                         def make_branch(shard):
                             def branch():
@@ -917,7 +879,8 @@ class BlockKFAC:
                                     st = state["buckets"][b_idx]
                                     outs.append(self._ema_bucket_factors(
                                         b, acts, gs, st["A"], st["G"],
-                                        cfg.factor_decay, rows=sub))
+                                        cfg.factor_decay, rows=sub,
+                                        mode=ema_mode))
                                 return outs
                             return branch
 
@@ -929,12 +892,12 @@ class BlockKFAC:
                         st = state["buckets"][b_idx]
                         outs.append(self._ema_bucket_factors(
                             b, acts, gs, st["A"], st["G"],
-                            cfg.factor_decay))
+                            cfg.factor_decay, mode=ema_mode))
                     return outs
 
                 def fac_update():
-                    if blockwise:
-                        return fac_update_blockwise()
+                    if direct_ema:
+                        return fac_update_direct()
                     if owner_only:
                         # Each device computes ONLY its owned rows' factor
                         # GEMMs: one lax.switch branch per shard, each with

@@ -244,6 +244,27 @@ class KFACConfig:
     # 1.90x was compiled alongside the since-removed stem polyphase
     # kernel and is not reproducible (BENCH_NOTES round 3, continued).
     factor_ema_blockwise: bool = False
+    # Factor-EMA materialization strategy (BlockKFAC, dp/single-program —
+    # where no factor collective needs the full fresh stack). The three
+    # modes are mathematically identical on the real blocks (parity-tested,
+    # tests/test_strategies.py); they differ only in HBM traffic and XLA
+    # schedule:
+    #   'concat'       identity-embed every fresh block, concatenate, then
+    #                  one full-state EMA pass (~4 state-sized passes/step).
+    #   'fused_concat' EMA each fresh block against its STATIC slice of the
+    #                  old state and concatenate the results directly — one
+    #                  state write, no separate fresh materialization (the
+    #                  EMA fuses into the factor-GEMM epilogues), and no
+    #                  update-slice chains. Pad rows/regions are re-emitted
+    #                  as exact identity (the concat path lets them drift by
+    #                  f32 EMA rounding — the round-2 merge-NaN source).
+    #   'blockwise'    EMA blocks written into the old state via .at[].set
+    #                  update-slices (measured pathological on v5e: 37.8x
+    #                  SGD from a serialized schedule, BENCH_NOTES round 3
+    #                  continued; kept as a parity option).
+    # None resolves to 'blockwise' if factor_ema_blockwise else 'concat'
+    # (back-compat with the round-3 boolean flag).
+    factor_ema_mode: Optional[str] = None
     # STORAGE dtype of the factor EMA state A/G ('float32' default,
     # matching the reference's fp32 running factors, utils.py:66-71;
     # 'bfloat16' halves the dominant per-step factor-state HBM traffic).
@@ -256,6 +277,15 @@ class KFACConfig:
     # nothing), and trace/eigen consumers which upcast to f32 at the op
     # (pi traces sum f32-cast diagonals; symeig casts its input).
     factor_state_dtype: Any = "float32"
+
+    @property
+    def _factor_ema_mode(self) -> str:
+        mode = self.factor_ema_mode
+        if mode is None:
+            mode = "blockwise" if self.factor_ema_blockwise else "concat"
+        if mode not in ("concat", "fused_concat", "blockwise"):
+            raise ValueError(f"unknown factor_ema_mode {mode!r}")
+        return mode
 
     @property
     def _factor_state_dtype(self):

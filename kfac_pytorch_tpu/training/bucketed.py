@@ -160,14 +160,32 @@ def make_bucketed_train_step(
     perturb_template=None,
     train_kwargs: Optional[Dict[str, Any]] = None,
     axis: Optional[str] = None,
+    n_accum: int = 1,
+    grad_compression: Optional[str] = None,
 ):
     """Build the bucket-resident train step.
 
     Returns ``train_step(state, batch, scalars) -> (state, metrics)``.
     With ``axis`` set the step must run inside shard_map over that mesh
     axis (gradients are pmean'd over it; K-FAC runs sharded).
+
+    ``n_accum > 1`` is the reference's ``--batches-per-allreduce`` gradient
+    accumulation (pytorch_imagenet_resnet.py:355-367): the (device-local)
+    batch is split into n_accum micro-batches scanned with raw-gradient
+    accumulation; curvature statistics (a, g) come from the LAST
+    micro-batch, matching the reference where hooks overwrite m_a/m_g each
+    backward and the preconditioner reads the final ones. The
+    ``perturb_template`` must then be shaped for the MICRO-batch.
+
+    ``grad_compression='bf16'`` casts gradients to bfloat16 for the
+    data-parallel pmean (the reference's ``--fp16-allreduce``,
+    hvd.Compression.fp16, pytorch_cifar10_resnet.py:254) and back; it only
+    applies under ``axis`` (single-program runs have no gradient
+    collective).
     """
     train_kwargs = dict(train_kwargs or {})
+    if grad_compression not in (None, "bf16"):
+        raise ValueError(f"unknown grad_compression {grad_compression}")
     if loss_fn is None:
         loss_fn = lambda logits, labels: softmax_cross_entropy(
             logits, labels, label_smoothing
@@ -191,19 +209,78 @@ def make_bucketed_train_step(
         new_model_state = {k: v for k, v in muts.items() if k != COL_A}
         return loss_fn(logits, y), (logits, acts, new_model_state)
 
+    def _grad_one(params, model_state, chunk):
+        perturbs = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), perturb_shapes
+        )
+        (loss, (logits, acts, new_ms)), (grads, gs) = jax.value_and_grad(
+            _loss_with_capture, argnums=(0, 1), has_aux=True
+        )(params, perturbs, model_state, chunk)
+        return loss, logits, grads, acts, gs, new_ms
+
     def train_step(state: BucketedTrainState, batch, scalars: KFACScalars):
         mask = mask_cache.setdefault(
             "mask", kfac_leaf_mask(kfac, state.params)
         )
-        perturbs = jax.tree_util.tree_map(
-            lambda s: jnp.zeros(s.shape, s.dtype), perturb_shapes
-        )
-        (loss, (logits, acts, model_state)), (grads, gs) = jax.value_and_grad(
-            _loss_with_capture, argnums=(0, 1), has_aux=True
-        )(state.params, perturbs, state.model_state, batch)
+        if n_accum <= 1:
+            loss, logits, grads, acts, gs, model_state = _grad_one(
+                state.params, state.model_state, batch
+            )
+            accuracy = jnp.mean(
+                (jnp.argmax(logits, axis=-1) == batch[1]).astype(jnp.float32)
+            )
+        else:
+            x, y = batch
+            micro = x.shape[0] // n_accum
+            xs = x.reshape((n_accum, micro) + x.shape[1:])
+            ys = y.reshape((n_accum, micro) + y.shape[1:])
+
+            def body(carry, chunk):
+                acc_grads, _, _, model_state = carry
+                loss, logits, grads, acts, gs, model_state = _grad_one(
+                    state.params, model_state, chunk
+                )
+                acc_grads = jax.tree_util.tree_map(
+                    lambda a, g: a + g / n_accum, acc_grads, grads
+                )
+                m = {
+                    "loss": loss,
+                    "acc": jnp.mean(
+                        (jnp.argmax(logits, -1) == chunk[1]).astype(
+                            jnp.float32
+                        )
+                    ),
+                }
+                return (acc_grads, acts, gs, model_state), m
+
+            shapes = jax.eval_shape(
+                lambda: _grad_one(
+                    state.params, state.model_state, (xs[0], ys[0])
+                )
+            )
+            zeros_of = lambda t: jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), t
+            )
+            carry0 = (
+                jax.tree_util.tree_map(jnp.zeros_like, state.params),
+                zeros_of(shapes[3]), zeros_of(shapes[4]),
+                state.model_state,
+            )
+            (grads, acts, gs, model_state), ms = jax.lax.scan(
+                body, carry0, (xs, ys)
+            )
+            loss, accuracy = jnp.mean(ms["loss"]), jnp.mean(ms["acc"])
 
         if axis is not None:
-            grads = jax.lax.pmean(grads, axis)
+            if grad_compression == "bf16":
+                grads = jax.tree_util.tree_map(
+                    lambda g: jax.lax.pmean(
+                        g.astype(jnp.bfloat16), axis
+                    ).astype(g.dtype),
+                    grads,
+                )
+            else:
+                grads = jax.lax.pmean(grads, axis)
             model_state = jax.lax.pmean(model_state, axis)
 
         # one stack per step; everything below is bucket-resident
@@ -272,9 +349,7 @@ def make_bucketed_train_step(
 
         metrics = {
             "loss": loss,
-            "accuracy": jnp.mean(
-                (jnp.argmax(logits, axis=-1) == batch[1]).astype(jnp.float32)
-            ),
+            "accuracy": accuracy,
         }
         if axis is not None:
             metrics = jax.tree_util.tree_map(

@@ -281,3 +281,99 @@ def test_bucketed_sharded_dp_smoke():
         st, m = step_fn(st, data, scalars)
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0]
+
+
+def test_bucketed_grad_accum_matches_loop_trainer():
+    """Bucketed n_accum=2 must reproduce make_grad_accum_train_step's
+    semantics (reference --batches-per-allreduce,
+    pytorch_imagenet_resnet.py:355-367): averaged micro grads, curvature
+    from the LAST micro-batch, ONE K-FAC step + ONE momentum-SGD update."""
+    from kfac_pytorch_tpu.training.loop import make_grad_accum_train_step
+
+    model, params, model_state, specs, perturbs, x, y = _setup()
+    micro = x.shape[0] // 2
+    pert_micro = ktpu.make_zero_perturbations(
+        model, {"params": params, **model_state}, x[:micro], train=True
+    )
+    cfg = KFACConfig(inv_type="eigen", damping=0.03, kl_clip=0.001)
+    lr, momentum = 0.05, 0.9
+    scalars = KFACScalars.create(lr=lr, damping=cfg.damping)
+
+    kfac_ref = BlockKFAC(specs, cfg, world_size=1)
+    tx = optax.sgd(lr, momentum=momentum)
+    st_ref = TrainState(
+        params=params, opt_state=tx.init(params),
+        kfac_state=kfac_ref.init_state(), model_state=model_state,
+    )
+    ref_step = jax.jit(make_grad_accum_train_step(
+        model, tx, kfac_ref, 2, perturb_template=pert_micro,
+        train_kwargs={"train": True},
+    ))
+    for _ in range(3):
+        st_ref, m_ref = ref_step(st_ref, (x, y), scalars)
+
+    kfac_b = BlockKFAC(specs, cfg, world_size=1)
+    st_b = init_bucketed_state(kfac_b, params, model_state=model_state)
+    b_step = jax.jit(make_bucketed_train_step(
+        model, kfac_b, momentum=momentum, perturb_template=pert_micro,
+        train_kwargs={"train": True}, n_accum=2,
+    ))
+    for _ in range(3):
+        st_b, m_b = b_step(st_b, (x, y), scalars)
+
+    _assert_trees_close(st_ref.params, st_b.params)
+    np.testing.assert_allclose(
+        float(m_ref["loss"]), float(m_b["loss"]), rtol=1e-5
+    )
+
+
+def test_bucketed_sharded_accum_compression():
+    """Sharded bucketed trainer with n_accum=2 + bf16 grad compression
+    (the reference's --batches-per-allreduce and --fp16-allreduce on the
+    flagship pipeline): trains, and tracks the uncompressed trajectory to
+    bf16 tolerance."""
+    from kfac_pytorch_tpu.training.bucketed import (
+        make_sharded_bucketed_train_step,
+        shard_bucketed_state,
+    )
+
+    model, params, model_state, specs, perturbs, x, y = _setup(
+        batch=32, seed=7
+    )
+    mesh = meshlib.make_mesh(8)
+    n_dev = 8
+    cfg = KFACConfig(inv_type="pcg", strategy="dp", damping=0.03,
+                     kl_clip=0.001, static_schedule=True,
+                     pcg_precond_dtype=None)
+    results = {}
+    for compression in (None, "bf16"):
+        kfac = BlockKFAC(specs, cfg, world_size=n_dev)
+        micro = x.shape[0] // n_dev // 2
+        local_pert = ktpu.make_zero_perturbations(
+            model, {"params": params, **model_state}, x[:micro], train=True
+        )
+        st = init_bucketed_state(kfac, params, model_state=model_state)
+        step_fn = make_sharded_bucketed_train_step(
+            model, kfac, mesh, st, local_pert,
+            train_kwargs={"train": True}, n_accum=2,
+            grad_compression=compression,
+        )
+        st = shard_bucketed_state(mesh, kfac, st)
+        data = meshlib.shard_batch(mesh, (x, y))
+        scalars = KFACScalars.create(lr=0.05, damping=0.03)
+        losses = []
+        for _ in range(4):
+            st, m = step_fn(st, data, scalars)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0]
+        results[compression] = (losses, st)
+    np.testing.assert_allclose(
+        results["bf16"][0], results[None][0], rtol=2e-2, atol=1e-3
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-2, atol=5e-3
+        ),
+        results["bf16"][1].params,
+        results[None][1].params,
+    )

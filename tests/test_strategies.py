@@ -274,23 +274,25 @@ def test_fresh_bucket_factors_batched_equals_per_row(merge):
 
 
 @pytest.mark.parametrize("merge", [False, True])
-def test_blockwise_ema_equals_concat_path(merge):
-    """factor_ema_blockwise=True (fresh factors EMA'd straight into state
-    sub-blocks, pad rows untouched) must reproduce the identity-embed +
-    concat + full-state-EMA path exactly over several steps — including
-    with cost-model-merged buckets (pad rows + heterogeneous real dims in
-    one bucket), where the pad-region invariant EMA(I, I) = I carries the
-    equivalence."""
+@pytest.mark.parametrize("mode", ["blockwise", "fused_concat"])
+def test_direct_ema_modes_equal_concat_path(mode, merge):
+    """factor_ema_mode='blockwise' (fresh factors EMA'd straight into state
+    sub-blocks via update-slices, pad rows untouched) and 'fused_concat'
+    (EMA'd blocks concatenated functionally, pads re-emitted as identity)
+    must reproduce the identity-embed + concat + full-state-EMA path over
+    several steps — including with cost-model-merged buckets (pad rows +
+    heterogeneous real dims in one bucket), where the pad-region invariant
+    EMA(I, I) = I carries the equivalence."""
     model, params, specs, perturbs, x, y = _setup(seed=5)
     acts, grads, gs = _capture(model, params, perturbs, x, y)
     kw = (
         dict(merge_flop_rate=1e30, merge_dispatch_cost=1e6) if merge else {}
     )
     results = {}
-    for blockwise in (False, True):
+    for ema_mode in ("concat", mode):
         cfg = KFACConfig(
             inv_type="eigen", damping=0.03, kl_clip=0.001,
-            factor_ema_blockwise=blockwise,
+            factor_ema_mode=ema_mode,
         )
         blk = BlockKFAC(specs, cfg, world_size=1, **kw)
         step = jax.jit(lambda s, g, a, p: blk.step(s, g, a, p, lr=0.1))
@@ -298,9 +300,9 @@ def test_blockwise_ema_equals_concat_path(merge):
         out = None
         for _ in range(3):
             out, st = step(st, grads, acts, gs)
-        results[blockwise] = (out, st)
-    out_c, st_c = results[False]
-    out_b, st_b = results[True]
+        results[ema_mode] = (out, st)
+    out_c, st_c = results["concat"]
+    out_b, st_b = results[mode]
     for e_c, e_b in zip(st_c["buckets"], st_b["buckets"]):
         np.testing.assert_allclose(
             np.asarray(e_c["A"]), np.asarray(e_b["A"]), rtol=1e-6, atol=1e-7
@@ -317,17 +319,18 @@ def test_blockwise_ema_equals_concat_path(merge):
     )
 
 
-def test_blockwise_ema_sharded_dp_owner_only():
+@pytest.mark.parametrize("mode", ["blockwise", "fused_concat"])
+def test_direct_ema_sharded_dp_owner_only(mode):
     """On the 8-device mesh in dp mode (owner-only factor compute), the
-    blockwise-EMA path must reproduce the concat path's trajectory."""
+    direct-EMA paths must reproduce the concat path's trajectory."""
     model, params, specs, perturbs, x, y = _setup(batch=32, seed=6)
     mesh = meshlib.make_mesh(8)
     n_dev = mesh.devices.size
     traj = {}
-    for blockwise in (False, True):
+    for ema_mode in ("concat", mode):
         cfg = KFACConfig(
             inv_type="eigen", strategy="dp", damping=0.03, kl_clip=0.001,
-            factor_ema_blockwise=blockwise,
+            factor_ema_mode=ema_mode,
         )
         kfac = BlockKFAC(specs, cfg, world_size=n_dev)
         tx = optax.sgd(0.05, momentum=0.9)
@@ -349,13 +352,13 @@ def test_blockwise_ema_sharded_dp_owner_only():
         for _ in range(4):
             state, m = step_fn(state, data, scalars)
             losses.append(float(m["loss"]))
-        traj[blockwise] = (losses, state)
-    np.testing.assert_allclose(traj[True][0], traj[False][0],
+        traj[ema_mode] = (losses, state)
+    np.testing.assert_allclose(traj[mode][0], traj["concat"][0],
                                rtol=1e-5, atol=1e-6)
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
         ),
-        traj[True][1].params,
-        traj[False][1].params,
+        traj[mode][1].params,
+        traj["concat"][1].params,
     )
