@@ -61,6 +61,18 @@ def _build(model_name, batch, image, num_classes):
         make_train_step,
     )
 
+    from kfac_pytorch_tpu.preconditioner import (
+        production_block_kwargs,
+        production_pcg_config,
+    )
+
+    # the defaults below are sourced from the SAME production config the
+    # dryrun and sharded tests exercise (preconditioner.
+    # production_pcg_config) — env vars override individual fields for
+    # on-chip sweeps without editing the file
+    prod = production_pcg_config()
+    blk_kw = production_block_kwargs()
+
     model = get_model(model_name, num_classes=num_classes)
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(batch, image, image, 3).astype(np.float32))
@@ -119,9 +131,9 @@ def _build(model_name, batch, image, num_classes):
     kfac = BlockKFAC(
         specs,
         KFACConfig(
-            inv_type=os.environ.get("KFB_INV", "pcg"),
+            inv_type=os.environ.get("KFB_INV", prod.inv_type),
             strategy="dp",
-            damping=0.002,
+            damping=prod.damping,
             # 5 CG iterations reproduce the exact eigen update to ~9e-5
             # relative (measured at damping 0.002; 6 iters: 5e-5)
             # warm-started CG carries the previous step's solution; on a
@@ -133,26 +145,26 @@ def _build(model_name, batch, image, num_classes):
             # vs warm-3 0.613 / cold-5 0.603 / sgd 0.497, bench_queue4) —
             # on the momentum-correlated gradient walk two warm iterations
             # keep trajectory quality at 33% fewer CG matmuls
-            pcg_iters=_env_i("KFB_ITERS", 2),
-            pcg_precond_freq=_env_i("KFB_PREC_FREQ", 10),
+            pcg_iters=_env_i("KFB_ITERS", prod.pcg_iters),
+            pcg_precond_freq=_env_i("KFB_PREC_FREQ", prod.pcg_precond_freq),
             # 'auto' = fused 3-matmul CG (exact eigen update of the
             # prec_freq-stale factors = reference TInv=prec_freq);
             # 'never' = 4-matmul operator form (exact TInv=1 update,
             # staleness only affects CG rate)
-            pcg_fused=os.environ.get("KFB_FUSED", "force"),
+            pcg_fused=os.environ.get("KFB_FUSED", prod.pcg_fused),
             # bf16 preconditioner storage halves the CG stage's dominant
             # HBM traffic (per-iteration re-read of all (da^2+dg^2)
             # inverse matrices); pair with KFB_FUSED=force to keep the
             # 3-matmul iteration (bf16-perturbed stale system)
             pcg_precond_dtype=(
-                os.environ.get("KFB_PDTYPE", "bfloat16") or None
+                os.environ.get("KFB_PDTYPE", prod.pcg_precond_dtype) or None
             ),
             # 'ns' = Newton-Schulz warm-started inverse refresh (matmuls
             # only; the batched Cholesky refresh is the largest amortized
             # term of the headline at prec_freq=10)
-            pcg_refresh=os.environ.get("KFB_REFRESH", "ns"),
-            pcg_ns_iters=_env_i("KFB_NS_ITERS", 3),
-            pcg_warm_start=bool(_env_i("KFB_WARM", 1)),
+            pcg_refresh=os.environ.get("KFB_REFRESH", prod.pcg_refresh),
+            pcg_ns_iters=_env_i("KFB_NS_ITERS", prod.pcg_ns_iters),
+            pcg_warm_start=bool(_env_i("KFB_WARM", int(prod.pcg_warm_start))),
             kfac_update_freq=_env_i("KFB_TINV", 1),
             fac_update_freq=_env_i("KFB_TCOV", 1),
             static_schedule=True,
@@ -161,7 +173,7 @@ def _build(model_name, batch, image, num_classes):
             # layers, 6x per-op), XLA elsewhere (blanket 'pallas' measured
             # +14 ms/step from the losing large-c layers)
             precision=os.environ.get("KFB_PRECISION") or None,
-            factor_impl=os.environ.get("KFB_FACTOR", "auto"),
+            factor_impl=os.environ.get("KFB_FACTOR", prod.factor_impl),
             factor_batch=bool(_env_i("KFB_FACTOR_BATCH", 1)),
             # <1.0 = factor statistics from a batch subset (DP-KFAC
             # local-batch semantics: 1/N matches the per-device factor
@@ -196,7 +208,7 @@ def _build(model_name, batch, image, num_classes):
             ),
         ),
         world_size=1,
-        dim_align=8,
+        dim_align=blk_kw["dim_align"],
         # cost-model bucket merging is opt-in: measured on-chip, merged
         # buckets LOST (94ms vs 75ms — the padded big-block matmuls are
         # HBM-bound, which a pure-FLOP model underestimates)
@@ -206,9 +218,9 @@ def _build(model_name, batch, image, num_classes):
         # measured 1.96x vs 2.09x unmerged (bench_queue3). The round-2
         # merge NaN (pad-drift in the pi trace correction) is fixed at
         # the root (ops/pcg._masked_diag_mean); KFB_MERGE_RATE=0 disables.
-        merge_flop_rate=_env_f("KFB_MERGE_RATE", 2.0e14),
-        merge_dispatch_cost=_env_f("KFB_MERGE_COST", 3.0e-5),
-        merge_hbm_rate=_env_f("KFB_MERGE_HBM", 8.0e11),
+        merge_flop_rate=_env_f("KFB_MERGE_RATE", blk_kw["merge_flop_rate"]),
+        merge_dispatch_cost=_env_f("KFB_MERGE_COST", blk_kw["merge_dispatch_cost"]),
+        merge_hbm_rate=_env_f("KFB_MERGE_HBM", blk_kw["merge_hbm_rate"]),
     )
     print(f"# kfac buckets: {len(kfac.buckets)}", file=sys.stderr)
 

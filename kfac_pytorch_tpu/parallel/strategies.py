@@ -764,6 +764,7 @@ class BlockKFAC:
         fac_update_freq=None,
         kfac_update_freq=None,
         axis: Optional[str] = None,
+        gather_preds: bool = True,
     ):
         """One bucketed K-FAC step on stacked gradients.
 
@@ -771,6 +772,15 @@ class BlockKFAC:
         (kl_clip nu already applied) and the new state. ``g_buckets`` must
         be the FULL (unsharded) stacked gradients — in sharded mode each
         device preconditions its local block and all-gathers.
+
+        ``gather_preds=False`` (sharded mode only) returns each device's
+        LOCAL preconditioned block instead of all-gathering — the kl_clip
+        inner product is then psum'd over the axis (same global nu). The
+        bucketed trainer uses this to run SGD momentum on the sharded
+        blocks and all-gather the final DELTAS once (same collective
+        bytes, momentum state sharded L/world_size per device; the pred
+        "broadcast" of the reference, inv.py:164-175, moves to after the
+        momentum update).
 
         Stage-major: one hoisted cond per gated stage across all buckets.
         """
@@ -1158,17 +1168,24 @@ class BlockKFAC:
                         g2d_my, e["invA"], e["invG"],
                         precision=cfg.precision,
                     )
-                if axis is not None:
+                if axis is not None and gather_preds:
                     # the pred "broadcast" (reference inv.py:164-175)
-                    v_full = jax.lax.all_gather(v_my, axis, axis=0, tiled=True)
+                    v_out = jax.lax.all_gather(v_my, axis, axis=0, tiled=True)
                 else:
-                    v_full = v_my
-                preds.append(v_full)
+                    v_out = v_my
+                preds.append(v_out)
                 if cfg.kl_clip is not None:
-                    vg_sum = vg_sum + jnp.sum(v_full * g2d_full) * (lr**2)
+                    if axis is not None and not gather_preds:
+                        # local inner product; the psum below restores the
+                        # global sum (local blocks tile the row axis)
+                        vg_sum = vg_sum + jnp.sum(v_my * g2d_my) * (lr**2)
+                    else:
+                        vg_sum = vg_sum + jnp.sum(v_out * g2d_full) * (lr**2)
 
             # ---- (4) kl_clip rescale (reference inv.py:188-217)
             if cfg.kl_clip is not None and not cfg.exclude_communicate_inverse:
+                if axis is not None and not gather_preds:
+                    vg_sum = jax.lax.psum(vg_sum, axis)
                 nu = pops.kl_clip_nu(vg_sum, cfg.kl_clip)
                 preds = [v * nu for v in preds]
 
@@ -1178,18 +1195,31 @@ class BlockKFAC:
     def step_buckets(
         self, state, g_buckets, acts, gs, *, lr, damping=None,
         fac_update_freq=None, kfac_update_freq=None,
-        axis: Optional[str] = None,
+        axis: Optional[str] = None, gather_preds: bool = True,
     ):
         """Bucket-resident step: stacked grads in, preconditioned stacked
         grads out (kl-clipped). When the inverse stage is excluded the raw
-        stacked grads pass through."""
+        stacked grads pass through. ``gather_preds=False`` returns local
+        blocks in sharded mode (see step_core); the pass-through then
+        slices each device's block so the output is local either way."""
         preds, new_state = self.step_core(
             state, g_buckets, acts, gs, lr=lr, damping=damping,
             fac_update_freq=fac_update_freq,
             kfac_update_freq=kfac_update_freq, axis=axis,
+            gather_preds=gather_preds,
         )
         if preds is None:
             preds = g_buckets
+            if axis is not None and not gather_preds:
+                idx = jax.lax.axis_index(axis)
+                n_shards = self.world_size
+                preds = [
+                    jax.lax.dynamic_slice_in_dim(
+                        v, idx * (b.n_rows // n_shards),
+                        b.n_rows // n_shards,
+                    )
+                    for v, b in zip(preds, self.buckets)
+                ]
         return preds, new_state
 
     def step(

@@ -283,7 +283,13 @@ def make_bucketed_train_step(
                 grads = jax.lax.pmean(grads, axis)
             model_state = jax.lax.pmean(model_state, axis)
 
-        # one stack per step; everything below is bucket-resident
+        # one stack per step; everything below is bucket-resident.
+        # Sharded mode: K-FAC returns each device's LOCAL preconditioned
+        # block (gather_preds=False), momentum runs on the sharded blocks
+        # (state.mom_buckets are local under shard_map), and the final
+        # DELTAS all-gather once — the reference's pred broadcast
+        # (inv.py:164-175) moved after the momentum update, same collective
+        # bytes, momentum state sharded L/world_size per device.
         g_buckets = kfac.stack_grads(grads)
         static = kfac.config.static_schedule
         preds, kfac_state = kfac.step_buckets(
@@ -296,6 +302,7 @@ def make_bucketed_train_step(
             fac_update_freq=None if static else scalars.fac_update_freq,
             kfac_update_freq=None if static else scalars.kfac_update_freq,
             axis=axis,
+            gather_preds=False,
         )
 
         # SGD with momentum (+ optional weight decay), bucket form.
@@ -305,6 +312,15 @@ def make_bucketed_train_step(
             p_buckets = [
                 kfac._stack_bucket(b, state.params) for b in kfac.buckets
             ]
+            if axis is not None:
+                idx = jax.lax.axis_index(axis)
+                p_buckets = [
+                    jax.lax.dynamic_slice_in_dim(
+                        p, idx * (b.n_rows // kfac.world_size),
+                        b.n_rows // kfac.world_size,
+                    )
+                    for p, b in zip(p_buckets, kfac.buckets)
+                ]
             preds = [
                 v + weight_decay * p for v, p in zip(preds, p_buckets)
             ]
@@ -317,6 +333,11 @@ def make_bucketed_train_step(
             ]
         else:
             deltas = mom_buckets
+        if axis is not None:
+            deltas = [
+                jax.lax.all_gather(d, axis, axis=0, tiled=True)
+                for d in deltas
+            ]
         params = kfac.apply_deltas(state.params, deltas, scalars.lr)
 
         # non-K-FAC leaves: plain momentum SGD (mask is static, so K-FAC

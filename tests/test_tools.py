@@ -43,3 +43,106 @@ def test_parse_logs(tmp_path):
     assert len(parsed["iters"]) == 2
     assert parsed["iters"][0]["step"] == 0.12
     assert parsed["summary"]["step"] == 0.05
+
+
+def test_make_dataset_npz_cifar_end_to_end(tmp_path):
+    """Converter on synthesized raw CIFAR-10 pickle batches, then
+    train_cifar.py --data-path runs end-to-end on the produced npz
+    (reference raw format: torchvision's python-version batches,
+    pytorch_cifar10_resnet.py:158-192)."""
+    import pickle
+    import subprocess
+    import sys
+    import os
+
+    from tools.make_dataset_npz import convert_cifar
+
+    raw = tmp_path / "cifar-10-batches-py"
+    raw.mkdir()
+    rng = np.random.RandomState(0)
+    for name, n in [(f"data_batch_{i}", 20) for i in range(1, 6)] + [
+        ("test_batch", 20)
+    ]:
+        with open(raw / name, "wb") as f:
+            pickle.dump(
+                {
+                    b"data": rng.randint(
+                        0, 256, (n, 3072), dtype=np.uint8
+                    ),
+                    b"labels": rng.randint(0, 10, n).tolist(),
+                },
+                f,
+            )
+    out = tmp_path / "cifar10.npz"
+    convert_cifar(str(raw), str(out), "cifar10")
+    d = np.load(out)
+    assert d["x_train"].shape == (100, 32, 32, 3)
+    assert d["x_train"].dtype == np.uint8
+    assert d["x_test"].shape == (20, 32, 32, 3)
+    assert d["y_train"].dtype == np.int32
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "examples", "train_cifar.py"),
+            "--model", "resnet20", "--data-path", str(out),
+            "--iters", "2", "--epochs", "1", "--batch-size", "16",
+        ],
+        capture_output=True, text=True, timeout=900, env=env, cwd=repo,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+
+def test_make_dataset_npz_multi30k(tmp_path):
+    """Multi-30k converter: whitespace-tokenized parallel text -> the
+    src/trg npz train_multi30k.py consumes; torchtext special ids
+    (<unk>=0 <pad>=1 <bos>=2 <eos>=3) and bos/eos-wrapped targets."""
+    from tools.make_dataset_npz import BOS, EOS, PAD, convert_multi30k
+
+    src = tmp_path / "train.de"
+    trg = tmp_path / "train.en"
+    # 60 sentence pairs so min_freq=2 keeps the repeated words
+    lines_de = ["ein mann geht", "eine frau liest", "ein hund rennt"] * 20
+    lines_en = ["a man walks", "a woman reads", "a dog runs"] * 20
+    src.write_text("\n".join(lines_de), encoding="utf-8")
+    trg.write_text("\n".join(lines_en), encoding="utf-8")
+
+    class A:
+        src_train = str(src)
+        trg_train = str(trg)
+        src_test = None
+        trg_test = None
+        seq_len = 12
+        min_freq = 2
+        max_vocab = None
+        vocab_json = str(tmp_path / "vocab.json")
+        out = str(tmp_path / "m30k.npz")
+
+    convert_multi30k(A)
+    d = np.load(A.out)
+    assert d["src_train"].dtype == np.int32
+    assert d["src_train"].shape[1] == 12
+    assert d["trg_train"][0, 0] == BOS
+    assert EOS in d["trg_train"][0]
+    # padding after sentence end
+    assert d["src_train"][0, -1] == PAD
+    assert int(d["src_vocab_size"]) > 4
+    # vocab json sidecar round-trips
+    v = json.load(open(A.vocab_json, encoding="utf-8"))
+    assert v["specials"][PAD] == "<pad>"
+    assert "mann" in v["src"]
+
+
+def test_make_dataset_npz_wikitext(tmp_path):
+    from tools.make_dataset_npz import convert_wikitext
+
+    f = tmp_path / "wiki.train.tokens"
+    f.write_text("the cat sat\nthe dog ran\n", encoding="utf-8")
+    out = tmp_path / "wiki.npz"
+    convert_wikitext([str(f)], str(out))
+    d = np.load(out)
+    assert d["tokens"].dtype == np.int32
+    assert d["tokens"].size == 8  # 3 words + <eos>, twice
+    assert int(d["vocab_size"]) >= 5
