@@ -70,8 +70,16 @@ def _build(model_name, batch, image, num_classes):
     # dryrun and sharded tests exercise (preconditioner.
     # production_pcg_config) — env vars override individual fields for
     # on-chip sweeps without editing the file
+    from kfac_pytorch_tpu.utils.calibration import apply_calibration
+
+    # on-chip recalibration of the measured dispatch/merge constants
+    # (tools/calibrate.py); absent file = the v5e-measured defaults
+    calib = apply_calibration()
+    if calib:
+        print(f"# calibration applied: { {k: v for k, v in calib.items() if k != 'meta'} }",
+              file=sys.stderr)
     prod = production_pcg_config()
-    blk_kw = production_block_kwargs()
+    blk_kw = production_block_kwargs(calib)
 
     model = get_model(model_name, num_classes=num_classes)
     rng = np.random.RandomState(0)

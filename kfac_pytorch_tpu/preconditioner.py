@@ -497,17 +497,25 @@ def production_pcg_config(**overrides) -> "KFACConfig":
     return KFACConfig(**base)
 
 
-def production_block_kwargs() -> Dict[str, Any]:
+def production_block_kwargs(calibration: Optional[Dict[str, Any]] = None
+                            ) -> Dict[str, Any]:
     """BlockKFAC constructor kwargs of the production headline arm:
     cost-model bucket merging with the v5e-measured rate constants
     (bench.py; 17 buckets on RN50, measured 1.96x merged vs 2.09x
-    unmerged) over natural dim_align=8 buckets."""
-    return dict(
+    unmerged) over natural dim_align=8 buckets. ``calibration`` (the dict
+    from utils.calibration.apply_calibration / tools/calibrate.py)
+    overrides the merge constants with on-chip measurements."""
+    kw = dict(
         dim_align=8,
         merge_flop_rate=2.0e14,
         merge_dispatch_cost=3.0e-5,
         merge_hbm_rate=8.0e11,
     )
+    if calibration:
+        from kfac_pytorch_tpu.utils.calibration import merge_kwargs_from
+
+        kw.update(merge_kwargs_from(calibration))
+    return kw
 
 
 class KFAC:

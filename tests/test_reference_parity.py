@@ -271,3 +271,146 @@ def test_eigen_preconditioned_grad_parity_conv():
 
     perm = _perm(ks, ks, cin, True)
     np.testing.assert_allclose(got_v, ref_v[:, perm], rtol=2e-3, atol=2e-4)
+
+
+def test_teacher_task_trajectory_tieback_150_steps():
+    """150-step TRAINING trajectory tie-back on teacher-task data: our full
+    eigen pipeline + momentum SGD vs the reference's torch pipeline driven
+    directly (ComputeA/ComputeG + update_running_avg + eigh + eigen
+    preconditioning + kl_clip + SGD momentum, utils.py:66-140,
+    eigen.py:98-144, inv.py:188-217; eigen_dp on one worker computes
+    exactly this). Unlike test_multi_step_trajectory_parity (fresh random
+    statistics each step), this run has the REAL feedback loop: params ->
+    activations -> factors -> update -> params, so floating-point drift
+    compounds through training dynamics. Measured drift (CPU f32, 150
+    steps, lr 0.05, damping 0.03, loss 2.40 -> 0.0009): max |param diff|
+    2e-5 @step0 (f32 eigh on the near-degenerate EMA spectrum — the
+    per-step update differs ~1% relative there), growing sub-linearly and
+    SATURATING at ~1e-2 by step 100 — no exponential divergence; both
+    runs land in the same basin with matching loss curves. Tolerance 2e-2
+    abs / 5e-2 rel bounds the measured curve with margin — recorded in
+    PARITY.md."""
+    update_running_avg = _ref_utils.update_running_avg
+    import jax
+    import optax
+    import torch.nn.functional as F
+
+    from kfac_pytorch_tpu.preconditioner import KFAC, KFACConfig
+    from kfac_pytorch_tpu.training.loop import (
+        KFACScalars, TrainState, make_train_step,
+    )
+    import flax.linen as nn
+
+    rng = np.random.RandomState(11)
+    din, hidden, classes = 24, 32, 10
+    n_data, batch = 256, 64
+    steps, lr, damping, kl_clip, decay, momentum = 150, 0.05, 0.03, 0.001, 0.95, 0.9
+
+    # teacher-task dataset: labels from a fixed random teacher
+    X = rng.randn(n_data, din).astype(np.float32)
+    W_t = rng.randn(din, classes).astype(np.float32)
+    Y = np.argmax(X @ W_t + 0.1 * rng.randn(n_data, classes), 1).astype(
+        np.int64
+    )
+
+    # ---- torch model + reference K-FAC pipeline
+    torch.manual_seed(0)
+    t_fc1 = torch.nn.Linear(din, hidden, bias=True)
+    t_fc2 = torch.nn.Linear(hidden, classes, bias=True)
+    t_layers = [t_fc1, t_fc2]
+    t_A = [torch.eye(din + 1), torch.eye(hidden + 1)]
+    t_G = [torch.eye(hidden), torch.eye(classes)]
+    t_mom = [torch.zeros(hidden, din + 1), torch.zeros(classes, hidden + 1)]
+
+    # ---- our model, initialized IDENTICALLY from the torch weights
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = ktpu.KFACDense(hidden, name="fc1")(x)
+            x = jnp.tanh(x)
+            return ktpu.KFACDense(classes, name="fc2")(x)
+
+    model = Net()
+    params = {
+        "fc1": {"layer": {
+            "kernel": jnp.asarray(t_fc1.weight.detach().numpy().T),
+            "bias": jnp.asarray(t_fc1.bias.detach().numpy()),
+        }},
+        "fc2": {"layer": {
+            "kernel": jnp.asarray(t_fc2.weight.detach().numpy().T),
+            "bias": jnp.asarray(t_fc2.bias.detach().numpy()),
+        }},
+    }
+    specs, perturbs = ktpu.setup_kfac(
+        model, {"params": params}, jnp.asarray(X[:batch])
+    )
+    kfac = KFAC(specs, KFACConfig(
+        inv_type="eigen", damping=damping, kl_clip=kl_clip,
+        factor_decay=decay,
+    ))
+    tx = optax.sgd(lr, momentum=momentum)
+    st = TrainState(params=params, opt_state=tx.init(params),
+                    kfac_state=kfac.init_state(), model_state={})
+    step_fn = jax.jit(make_train_step(model, tx, kfac,
+                                      perturb_template=perturbs))
+    scalars = KFACScalars.create(lr=lr, damping=damping)
+
+    for step in range(steps):
+        lo = (step * batch) % n_data
+        xb, yb = X[lo:lo + batch], Y[lo:lo + batch]
+
+        # torch side: forward with captures, backward, reference K-FAC
+        xt = torch.from_numpy(xb)
+        yt = torch.from_numpy(yb)
+        a1 = xt
+        z1 = t_fc1(a1)
+        h = torch.tanh(z1)
+        z2 = t_fc2(h)
+        z1.retain_grad(), z2.retain_grad()
+        loss = F.cross_entropy(z2, yt)  # mean over batch
+        loss.backward()
+        caps = [(a1, z1.grad), (h.detach(), z2.grad)]
+        t_v, vg = [], 0.0
+        for i, (lay, (a, g)) in enumerate(zip(t_layers, caps)):
+            A_new = ComputeA()(a, lay)
+            G_new = ComputeG()(g, lay, batch_averaged=True)
+            update_running_avg(A_new, t_A[i], decay)
+            update_running_avg(G_new, t_G[i], decay)
+            dA, QA = torch.linalg.eigh(t_A[i])
+            dG, QG = torch.linalg.eigh(t_G[i])
+            dA = dA * (dA > 1e-10).float()
+            dG = dG * (dG > 1e-10).float()
+            grad_t = torch.cat(
+                [lay.weight.grad, lay.bias.grad.reshape(-1, 1)], 1
+            )
+            v = QG @ ((QG.t() @ grad_t @ QA)
+                      / (dG.unsqueeze(1) * dA.unsqueeze(0) + damping)) @ QA.t()
+            vg += float((v * grad_t * lr**2).sum())
+            t_v.append(v)
+        nu = min(1.0, (kl_clip / abs(vg)) ** 0.5)
+        with torch.no_grad():
+            for i, lay in enumerate(t_layers):
+                t_mom[i] = momentum * t_mom[i] + nu * t_v[i]
+                lay.weight -= lr * t_mom[i][:, :-1]
+                lay.bias -= lr * t_mom[i][:, -1]
+                lay.weight.grad = None
+                lay.bias.grad = None
+
+        # our side
+        st, _m = step_fn(st, (jnp.asarray(xb), jnp.asarray(yb)), scalars)
+
+    # trajectory tolerance (PARITY.md): measured max-abs drift saturates
+    # at ~1e-2 (fc1) / 6.6e-3 (fc2) by step 150; 2e-2 abs / 5e-2 rel
+    # bounds the curve with margin while still failing on any semantic
+    # mismatch (a wrong EMA decay or damping diverges orders of magnitude)
+    for name, lay in (("fc1", t_fc1), ("fc2", t_fc2)):
+        ours_k = np.asarray(st.params[name]["layer"]["kernel"]).T
+        ours_b = np.asarray(st.params[name]["layer"]["bias"])
+        np.testing.assert_allclose(
+            ours_k, lay.weight.detach().numpy(), rtol=5e-2, atol=2e-2,
+            err_msg=f"{name} kernel trajectory drift",
+        )
+        np.testing.assert_allclose(
+            ours_b, lay.bias.detach().numpy(), rtol=5e-2, atol=2e-2,
+            err_msg=f"{name} bias trajectory drift",
+        )

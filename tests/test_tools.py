@@ -146,3 +146,63 @@ def test_make_dataset_npz_wikitext(tmp_path):
     assert d["tokens"].dtype == np.int32
     assert d["tokens"].size == 8  # 3 words + <eos>, twice
     assert int(d["vocab_size"]) >= 5
+
+
+def test_calibration_apply(tmp_path, monkeypatch):
+    """Calibration JSON round-trip: apply_calibration patches the factor
+    dispatch constants and production_block_kwargs picks up the merge
+    overrides; absent file is a no-op."""
+    from kfac_pytorch_tpu.ops import factors as fops
+    from kfac_pytorch_tpu.preconditioner import production_block_kwargs
+    from kfac_pytorch_tpu.utils import calibration as cal
+
+    orig_rows = fops._PALLAS_ROWS_PER_C
+    orig_bytes = fops._AUTO_BF16_MIN_BYTES
+    try:
+        # no file -> no-op
+        monkeypatch.chdir(tmp_path)
+        assert cal.apply_calibration() == {}
+        assert fops._PALLAS_ROWS_PER_C == orig_rows
+
+        cfg = {
+            "pallas_rows_per_c": 42.0,
+            "auto_bf16_min_bytes": 1e7,
+            "merge_flop_rate": 1.5e14,
+            "merge_hbm_rate": 5e11,
+            "meta": {"device": "test"},
+        }
+        path = tmp_path / "calibration.json"
+        path.write_text(json.dumps(cfg))
+        data = cal.apply_calibration(str(path))
+        assert fops._PALLAS_ROWS_PER_C == 42.0
+        assert fops._AUTO_BF16_MIN_BYTES == 1e7
+        kw = production_block_kwargs(data)
+        assert kw["merge_flop_rate"] == 1.5e14
+        assert kw["merge_hbm_rate"] == 5e11
+        assert kw["merge_dispatch_cost"] == 3.0e-5  # default kept
+        # default-path discovery via cwd
+        assert cal.find_calibration() == "calibration.json"
+    finally:
+        fops.set_dispatch_constants(orig_rows, orig_bytes)
+
+
+def test_calibrate_tool_quick_smoke(tmp_path):
+    """tools/calibrate.py --quick runs end-to-end on CPU (numbers are
+    meaningless there; the test checks plumbing + JSON schema)."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = tmp_path / "cal.json"
+    r = subprocess.run(
+        [_sys.executable, os.path.join(repo, "tools", "calibrate.py"),
+         "--quick", "--skip", "bf16", "-o", str(out)],
+        capture_output=True, text=True, timeout=900,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"), cwd=repo,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    d = json.loads(out.read_text())
+    assert "merge_flop_rate" in d and d["merge_flop_rate"] > 0
+    assert "merge_dispatch_cost" in d and d["merge_dispatch_cost"] > 0
+    assert "pallas_rows_per_c" in d

@@ -145,9 +145,13 @@ def run_arm(variant, x, y, xv, yv, steps, batch, lr, damping, seed,
             if variant == "pcg_sdt_dp":
                 # production candidate + bf16 factor-STATE storage: the
                 # EMA'd A/G live in bfloat16 (KFACConfig.factor_state_dtype)
-                # — validates the rounding-perturbed factor trajectory
+                # — validates the rounding-perturbed factor trajectory.
+                # factor_dtype='auto' matches pcg_prod_dp so this is a true
+                # ONE-variable delta from the production arm (round-3
+                # ADVICE)
                 extra.update(pcg_precond_dtype="bfloat16",
                              pcg_fused="force", pcg_refresh="ns",
+                             factor_dtype="auto",
                              factor_state_dtype="bfloat16")
             if variant == "pcg_frac_dp":
                 # production candidate + quarter-batch factor statistics
