@@ -206,3 +206,49 @@ def test_calibrate_tool_quick_smoke(tmp_path):
     assert "merge_flop_rate" in d and d["merge_flop_rate"] > 0
     assert "merge_dispatch_cost" in d and d["merge_dispatch_cost"] > 0
     assert "pallas_rows_per_c" in d
+
+
+def test_make_dataset_npz_squad(tmp_path):
+    """SQuAD converter on a tiny synthesized v1.1 JSON + local vocab file,
+    via the reference's own transformers feature pipeline."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    vocab = tmp_path / "vocab.txt"
+    words = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "the", "cat",
+             "sat", "on", "mat", "what", "did", "do", "?", "a", "."]
+    vocab.write_text("\n".join(words), encoding="utf-8")
+    data = {
+        "version": "1.1",
+        "data": [{
+            "title": "t",
+            "paragraphs": [{
+                "context": "the cat sat on the mat .",
+                "qas": [{
+                    "id": "q1",
+                    "question": "what did the cat do ?",
+                    "answers": [{"text": "sat", "answer_start": 8}],
+                }],
+            }],
+        }],
+    }
+    train_json = tmp_path / "train-v1.1.json"
+    train_json.write_text(json.dumps(data), encoding="utf-8")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = tmp_path / "squad.npz"
+    r = subprocess.run(
+        [_sys.executable, os.path.join(repo, "tools", "make_dataset_npz.py"),
+         "squad", str(train_json), "--vocab-file", str(vocab),
+         "--seq-len", "32", "--doc-stride", "16", "-o", str(out)],
+        capture_output=True, text=True, timeout=600,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"), cwd=repo,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    d = np.load(out)
+    assert d["input_ids"].shape == (1, 32)
+    assert d["input_ids"].dtype == np.int32
+    sp, ep = int(d["start_positions"][0]), int(d["end_positions"][0])
+    assert 0 < sp <= ep < 32
+    # the span tokens decode back to the answer ("sat" = vocab id 7)
+    assert d["input_ids"][0, sp] == words.index("sat")

@@ -198,6 +198,69 @@ def convert_wikitext(files, out, min_freq=1):
     print(f"{out}: {tokens.size} tokens, vocab {len(vocab) + len(SPECIALS)}")
 
 
+# ------------------------------------------------------------------ squad
+
+
+def convert_squad(args):
+    """SQuAD v1.1 train JSON + a local BERT vocab.txt -> the features npz
+    train_squad.py consumes (input_ids, attention_mask, token_type_ids,
+    start_positions, end_positions). Uses the SAME transformers utilities
+    the reference harness runs (SquadV1Processor +
+    squad_convert_examples_to_features,
+    /root/reference/examples/pytorch_squad_bert.py:94-137), so
+    tokenization/feature semantics match exactly; the tokenizer loads from
+    the local vocab file (no network)."""
+    from transformers import BertTokenizer
+    from transformers.data.processors.squad import (
+        SquadV1Processor,
+        squad_convert_examples_to_features,
+    )
+
+    # the SLOW python tokenizer: squad_convert_examples_to_features feeds
+    # pre-tokenized id lists, which the fast (rust) tokenizer rejects —
+    # same combination the reference ran (transformers' own squad example)
+    tokenizer = BertTokenizer(
+        vocab_file=args.vocab_file, do_lower_case=not args.cased
+    )
+    processor = SquadV1Processor()
+    data_dir = os.path.dirname(os.path.abspath(args.train_json))
+    examples = processor.get_train_examples(
+        data_dir, filename=os.path.basename(args.train_json)
+    )
+    if args.max_examples:
+        examples = examples[: args.max_examples]
+    features = squad_convert_examples_to_features(
+        examples=examples,
+        tokenizer=tokenizer,
+        max_seq_length=args.seq_len,
+        doc_stride=args.doc_stride,
+        max_query_length=args.max_query_length,
+        is_training=True,
+        return_dataset=False,
+        threads=1,
+    )
+    arrays = dict(
+        input_ids=np.asarray([f.input_ids for f in features], np.int32),
+        attention_mask=np.asarray(
+            [f.attention_mask for f in features], np.int32
+        ),
+        token_type_ids=np.asarray(
+            [f.token_type_ids for f in features], np.int32
+        ),
+        start_positions=np.asarray(
+            [f.start_position for f in features], np.int32
+        ),
+        end_positions=np.asarray(
+            [f.end_position for f in features], np.int32
+        ),
+    )
+    np.savez_compressed(args.out, **arrays)
+    print(
+        f"{args.out}: {arrays['input_ids'].shape[0]} features from "
+        f"{len(examples)} examples, seq_len {args.seq_len}"
+    )
+
+
 # ------------------------------------------------------------------ main
 
 
@@ -226,11 +289,24 @@ def main(argv=None):
     sp.add_argument("--min-freq", type=int, default=1)
     sp.add_argument("-o", "--out", default="wikitext.npz")
 
+    sp = sub.add_parser("squad")
+    sp.add_argument("train_json", help="SQuAD v1.1 train-v1.1.json")
+    sp.add_argument("--vocab-file", required=True,
+                    help="local BERT vocab.txt (e.g. bert-base-uncased's)")
+    sp.add_argument("--cased", action="store_true")
+    sp.add_argument("--seq-len", type=int, default=384)
+    sp.add_argument("--doc-stride", type=int, default=128)
+    sp.add_argument("--max-query-length", type=int, default=64)
+    sp.add_argument("--max-examples", type=int, default=None)
+    sp.add_argument("-o", "--out", default="squad_train.npz")
+
     args = p.parse_args(argv)
     if args.cmd in ("cifar10", "cifar100"):
         convert_cifar(args.dir, args.out, args.cmd)
     elif args.cmd == "multi30k":
         convert_multi30k(args)
+    elif args.cmd == "squad":
+        convert_squad(args)
     else:
         convert_wikitext(args.files, args.out, args.min_freq)
     return 0
