@@ -364,7 +364,14 @@ def test_direct_ema_sharded_dp_owner_only(mode):
     )
 
 
-def test_production_config_sharded_matches_single_program():
+@pytest.mark.parametrize("extras", [
+    {},
+    # the round-4 factor-state traffic candidates: direct fused-concat EMA
+    # + bf16 factor-state storage (flip-ready: validated here under SPMD
+    # before any default change)
+    dict(factor_ema_mode="fused_concat", factor_state_dtype="bfloat16"),
+])
+def test_production_config_sharded_matches_single_program(extras):
     """The EXACT shipped production config (preconditioner.
     production_pcg_config: NS warm-started refresh + bf16 inverses +
     forced fused CG + warm-start carry + bucket merging) run SPMD must
@@ -387,7 +394,7 @@ def test_production_config_sharded_matches_single_program():
     )
 
     model, params, specs, perturbs, x, y = _setup(batch=32, seed=8)
-    cfg = production_pcg_config(damping=0.03, strategy="mpd")
+    cfg = production_pcg_config(damping=0.03, strategy="mpd", **extras)
     blk_kw = production_block_kwargs()
     scalars = KFACScalars.create(lr=0.05, damping=0.03)
     steps = 12
@@ -421,15 +428,25 @@ def test_production_config_sharded_matches_single_program():
         st_n, m = step_n(st_n, data, scalars)
         losses_n.append(float(m["loss"]))
 
-    np.testing.assert_allclose(losses_n, losses_1, rtol=2e-4, atol=1e-5)
-    # param tolerance: the production combo stores bf16 inverses, so the
+    # tolerance: the production combo stores bf16 inverses, so the
     # sharded run's different f32 reduction order perturbs the solve at
     # bf16 eps and the warm-start carry propagates it — measured max abs
-    # drift 3.7e-4 over 12 steps on near-zero params (losses track to
-    # 2e-4 rel above)
+    # param drift 3.7e-4 over 12 steps (losses to 2e-4 rel). With bf16
+    # factor STATE on top (extras), the two sides additionally round in
+    # different ORDER: the sharded mpd path casts fresh factors to bf16
+    # before the pmean+EMA, the single-program fused_concat EMA blends in
+    # f32 and rounds once on store — a bf16-eps difference in the fresh
+    # contribution every step (measured: loss 3.2e-4 abs, params 6.9e-3
+    # abs over 12 steps, linear not exponential).
+    loose = bool(extras)
+    np.testing.assert_allclose(losses_n, losses_1,
+                               rtol=1e-2 if loose else 2e-4,
+                               atol=1e-3 if loose else 1e-5)
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4
+            np.asarray(a), np.asarray(b),
+            rtol=5e-2 if loose else 5e-3,
+            atol=1.5e-2 if loose else 5e-4,
         ),
         st_n.params,
         st_1.params,
