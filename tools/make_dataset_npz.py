@@ -107,8 +107,11 @@ def _read_lines(path):
 
 
 def build_vocab(sentences, min_freq=2, max_size=None):
-    """Word -> id map with the torchtext special ordering."""
-    counts = Counter(tok for s in sentences for tok in s)
+    """Word -> id map with the torchtext special ordering (special tokens
+    appearing in the text keep their reserved ids, not fresh ones)."""
+    counts = Counter(
+        tok for s in sentences for tok in s if tok not in SPECIALS
+    )
     words = [w for w, c in counts.most_common(max_size) if c >= min_freq]
     return {w: i + len(SPECIALS) for i, w in enumerate(words)}
 
