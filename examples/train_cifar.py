@@ -100,6 +100,13 @@ def parse_args(argv=None):
                    help="bfloat16 gradient allreduce compression (the "
                         "reference's --fp16-allreduce, "
                         "pytorch_cifar10_resnet.py:252-254)")
+    p.add_argument("--trainer", choices=["loop", "bucketed"],
+                   default="loop",
+                   help="'bucketed' = the bucket-resident flagship "
+                        "pipeline (training/bucketed.py — the bench.py "
+                        "headline path: gradients stacked once, K-FAC + "
+                        "SGD momentum in bucket form); requires K-FAC on "
+                        "and kfac-type Femp")
     # harness
     p.add_argument("--data-path", default=None)
     p.add_argument("--synthetic", action="store_true")
@@ -189,7 +196,7 @@ def main(argv=None):
             model, {"params": params, **model_state}, sample, train=True
         )
         log.info("#register modules: %d", len(specs))
-        if mesh is not None:
+        if mesh is not None or args.trainer == "bucketed":
             builder = ktpu.get_kfac_module(args.kfac_name)(specs)
             kfac = BlockKFAC(
                 specs,
@@ -204,7 +211,7 @@ def main(argv=None):
                     pcg_warm_start=args.pcg_warm_start,
                     **KFACConfig.exclude_parts_flags(args.exclude_parts),
                 ),
-                world_size=n_dev,
+                world_size=n_dev if mesh is not None else 1,
             )
         else:
             kfac = ktpu.get_kfac_module(args.kfac_name)(
@@ -230,7 +237,45 @@ def main(argv=None):
         kfac_state=kfac.init_state() if kfac else None,
         model_state=model_state,
     )
-    if mesh is not None:
+    if args.trainer == "bucketed":
+        # the bucket-resident flagship pipeline (the bench.py headline
+        # path): K-FAC + SGD momentum in stacked bucket form
+        if not use_kfac:
+            raise SystemExit(
+                "--trainer bucketed requires K-FAC (--kfac-update-freq > 0)"
+            )
+        if args.kfac_type != "Femp":
+            raise SystemExit("--trainer bucketed supports --kfac-type Femp")
+        from kfac_pytorch_tpu.training.bucketed import (
+            init_bucketed_state,
+            make_bucketed_train_step,
+            make_sharded_bucketed_train_step,
+            shard_bucketed_state,
+        )
+
+        state = init_bucketed_state(kfac, params, model_state=model_state)
+        if mesh is not None:
+            local_pert = ktpu.make_zero_perturbations(
+                model, {"params": params, **model_state},
+                sample[: args.batch_size], train=True,
+            )
+            train_step = make_sharded_bucketed_train_step(
+                model, kfac, mesh, state, local_pert,
+                momentum=args.momentum, weight_decay=args.wd,
+                label_smoothing=args.label_smoothing,
+                train_kwargs={"train": True},
+                grad_compression="bf16" if args.bf16_allreduce else None,
+            )
+            state = shard_bucketed_state(mesh, kfac, state)
+        else:
+            train_step = jax.jit(make_bucketed_train_step(
+                model, kfac,
+                momentum=args.momentum, weight_decay=args.wd,
+                label_smoothing=args.label_smoothing,
+                perturb_template=perturbs,
+                train_kwargs={"train": True},
+            ))
+    elif mesh is not None:
         local_pert = (
             ktpu.make_zero_perturbations(
                 model, {"params": params, **model_state},
@@ -322,7 +367,7 @@ def main(argv=None):
             if args.profile_dir and global_step == 5:
                 jax.profiler.start_trace(args.profile_dir)
             timers.start("step")
-            if mesh is not None:
+            if mesh is not None or args.trainer == "bucketed":
                 state, m = train_step(state, batch, scalars)
             else:
                 step_rng = (
