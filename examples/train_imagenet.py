@@ -85,6 +85,16 @@ def parse_args(argv=None):
     p.add_argument("--kfac-update-freq-schedule", type=float, nargs="*",
                    default=[25, 35])
     p.add_argument("--exclude-parts", default="")
+    p.add_argument("--production", action="store_true",
+                   help="use the bench-validated production K-FAC combo "
+                        "(preconditioner.production_pcg_config: warm-2 "
+                        "fused CG, NS-refreshed bf16 inverses, cost-model "
+                        "bucket merging) — overrides --kfac-name")
+    p.add_argument("--trainer", choices=["loop", "bucketed"],
+                   default="loop",
+                   help="'bucketed' = the bucket-resident flagship "
+                        "pipeline (training/bucketed.py — the bench.py "
+                        "headline path); requires K-FAC on")
     # distribution
     p.add_argument("--n-devices", type=int, default=None,
                    help="use the sharded mesh path over N devices "
@@ -169,27 +179,35 @@ def main(argv=None):
     }
 
     use_kfac = args.kfac_update_freq > 0
-    inv_type, strategy = (
-        ("eigen", "dp") if args.kfac_name == "eigen_dp" else
-        ("inverse", "dp") if args.kfac_name == "inverse_dp" else
-        ("eigen", "mpd") if args.kfac_name == "eigen" else
-        ("inverse", "mpd")
-    )
+    # name -> (inv_type, strategy), covering every kfac_mappers entry
+    # (inverse/eigen/pcg x mpd/dp) — the old if-chain silently mapped
+    # 'pcg'/'pcg_dp' to inverse-mpd
+    strategy = "dp" if args.kfac_name.endswith("_dp") else "mpd"
+    inv_type = args.kfac_name.removesuffix("_dp")
     kfac = None
     if use_kfac:
         specs, _ = ktpu.setup_kfac(
             model, {"params": params, **model_state}, sample, train=True
         )
         log.info("#register modules: %d", len(specs))
-        kfac = BlockKFAC(
-            specs,
-            KFACConfig(
-                inv_type=inv_type, strategy=strategy, damping=args.damping,
-                kl_clip=args.kl_clip, factor_decay=args.stat_decay,
-                **KFACConfig.exclude_parts_flags(args.exclude_parts),
-            ),
-            world_size=n_dev,
+        common = dict(
+            damping=args.damping, kl_clip=args.kl_clip,
+            factor_decay=args.stat_decay,
+            **KFACConfig.exclude_parts_flags(args.exclude_parts),
         )
+        blk_kw = {}
+        if args.production:
+            # the bench.py headline combo, calibrated to this chip when
+            # tools/calibrate.py has been run
+            from kfac_pytorch_tpu.preconditioner import (
+                production_block_kwargs, production_pcg_config)
+            from kfac_pytorch_tpu.utils.calibration import apply_calibration
+
+            cfg = production_pcg_config(**common)
+            blk_kw = production_block_kwargs(apply_calibration())
+        else:
+            cfg = KFACConfig(inv_type=inv_type, strategy=strategy, **common)
+        kfac = BlockKFAC(specs, cfg, world_size=n_dev, **blk_kw)
 
     lr_fn = lr_schedules.warmup_multistep(
         args.base_lr, args.warmup_epochs, args.lr_decay,
@@ -201,6 +219,17 @@ def main(argv=None):
         kfac_state=kfac.init_state() if kfac else None,
         model_state=model_state,
     )
+    if args.trainer == "bucketed":
+        if not use_kfac:
+            raise SystemExit(
+                "--trainer bucketed requires K-FAC (--kfac-update-freq > 0)"
+            )
+        from kfac_pytorch_tpu.training.bucketed import init_bucketed_state
+
+        # BucketedTrainState shares the params/model_state surface the
+        # eval/checkpoint code uses; checkpoints restore against whichever
+        # state pytree the trainer runs (template-generic orbax restore)
+        state = init_bucketed_state(kfac, params, model_state=model_state)
 
     # resume
     start_epoch = 0
@@ -218,7 +247,43 @@ def main(argv=None):
             log.info("resumed from epoch %d", resumed)
             state = jax.tree_util.tree_map(jnp.asarray, state)
 
-    if mesh is not None:
+    if args.trainer == "bucketed":
+        from kfac_pytorch_tpu.training.bucketed import (
+            make_bucketed_train_step,
+            make_sharded_bucketed_train_step,
+            shard_bucketed_state,
+        )
+
+        if mesh is not None:
+            # perturb template sized for the MICRO-batch (device-local
+            # rows / n_accum) — see make_bucketed_train_step
+            local_pert = ktpu.make_zero_perturbations(
+                model, {"params": params, **model_state},
+                sample[: args.batch_size], train=True,
+            )
+            train_step = make_sharded_bucketed_train_step(
+                model, kfac, mesh, state, local_pert,
+                momentum=args.momentum, weight_decay=args.wd,
+                label_smoothing=args.label_smoothing,
+                train_kwargs={"train": True},
+                n_accum=n_accum,
+                grad_compression="bf16" if args.bf16_allreduce else None,
+            )
+            state = shard_bucketed_state(mesh, kfac, state)
+        else:
+            micro_pert = ktpu.make_zero_perturbations(
+                model, {"params": params, **model_state},
+                sample[: global_bs // n_accum], train=True,
+            )
+            train_step = jax.jit(make_bucketed_train_step(
+                model, kfac,
+                momentum=args.momentum, weight_decay=args.wd,
+                label_smoothing=args.label_smoothing,
+                perturb_template=micro_pert,
+                train_kwargs={"train": True},
+                n_accum=n_accum,
+            ))
+    elif mesh is not None:
         local_sample = sample[: args.batch_size]
         local_pert = (
             ktpu.make_zero_perturbations(
