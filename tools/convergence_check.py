@@ -105,7 +105,8 @@ def run_arm(variant, x, y, xv, yv, steps, batch, lr, damping, seed,
 
     kfac, perturbs = None, None
     bucketed_arm = variant in ("pcg_warm_dp", "pcg_cold_dp", "pcg_bf16_dp",
-                               "pcg_prod_dp", "pcg_frac_dp", "pcg_sdt_dp")
+                               "pcg_prod_dp", "pcg_frac_dp", "pcg_sdt_dp",
+                               "pcg_emafused_dp")
     if variant != "sgd":
         specs, perturbs = ktpu.setup_kfac(
             model, {"params": params, **model_state}, sample, train=True
@@ -127,7 +128,8 @@ def run_arm(variant, x, y, xv, yv, steps, batch, lr, damping, seed,
             from kfac_pytorch_tpu.preconditioner import KFACConfig
 
             warm = variant in ("pcg_warm_dp", "pcg_bf16_dp",
-                               "pcg_prod_dp", "pcg_frac_dp", "pcg_sdt_dp")
+                               "pcg_prod_dp", "pcg_frac_dp", "pcg_sdt_dp",
+                               "pcg_emafused_dp")
             extra = {}
             if prec_freq is not None:
                 extra["pcg_precond_freq"] = prec_freq
@@ -153,6 +155,15 @@ def run_arm(variant, x, y, xv, yv, steps, batch, lr, damping, seed,
                              pcg_fused="force", pcg_refresh="ns",
                              factor_dtype="auto",
                              factor_state_dtype="bfloat16")
+            if variant == "pcg_emafused_dp":
+                # production candidate + single-pass fused-concat factor
+                # EMA (factor_ema_mode='fused_concat') — a true
+                # one-variable delta from pcg_prod_dp, validating the
+                # identity-re-emitted pad semantics over a long trajectory
+                extra.update(pcg_precond_dtype="bfloat16",
+                             pcg_fused="force", pcg_refresh="ns",
+                             factor_dtype="auto",
+                             factor_ema_mode="fused_concat")
             if variant == "pcg_frac_dp":
                 # production candidate + quarter-batch factor statistics
                 # (the per-device factor workload of 4-way DP-KFAC)
