@@ -307,6 +307,32 @@ def _time_chained(raw_step, state, batch, scalars, k_hi=8, k_lo=1,
     return max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
 
 
+def _profile_steps(raw_step, state, batch, scalars, outdir, steps=4,
+                   warm_steps=0):
+    """Capture an xprof/perfetto trace of the steady-state chained window
+    (same program shape as _time_chained's measurement: warm advance, then
+    one scan of ``steps`` steps). Summarize with tools/profile_summary.py."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def advance(st, k):
+        def body(s, _):
+            s, _m = raw_step(s, batch, scalars)
+            return s, ()
+
+        s, _ = jax.lax.scan(body, st, None, length=k)
+        return s
+
+    if warm_steps > 0:
+        state = jax.block_until_ready(advance(state, warm_steps))
+    jax.block_until_ready(advance(state, steps))  # compile outside trace
+    with jax.profiler.trace(outdir):
+        jax.block_until_ready(advance(state, steps))
+
+
 def main():
     configs = [
         ("imagenet-resnet50", 32, 224, 1000),
@@ -338,6 +364,18 @@ def main():
                                   warm_steps=warm)
             t_kfac = _time_chained(kfac_raw, kfac_st, data, scalars,
                                    k_hi=k_hi, warm_steps=warm)
+            prof_dir = os.environ.get("KFB_PROFILE")
+            if prof_dir:
+                # op-level attribution of the kfac (and sgd) step; the
+                # scan window matches the timed program so trace shares
+                # map onto the headline milliseconds
+                _profile_steps(kfac_raw, kfac_st, data, scalars,
+                               os.path.join(prof_dir, "kfac"),
+                               warm_steps=warm)
+                _profile_steps(sgd_raw, sgd_st, data, scalars,
+                               os.path.join(prof_dir, "sgd"),
+                               warm_steps=warm)
+                print(f"# profile traces in {prof_dir}", file=sys.stderr)
             ratio = t_kfac / t_sgd
             print(
                 json.dumps(
