@@ -130,12 +130,55 @@ def summarize(path: str, top: int = 25):
     return by_class, by_name
 
 
+def summarize_by_source(path: str, top: int = 25, steps: int = 1):
+    """Aggregate device-op time by the PYTHON SOURCE LINE that emitted the
+    op (jax records it in the trace args) — the per-stage attribution view:
+    ops/factors.py = factor GEMMs, ops/pcg.py = the CG stage, flax = the
+    model's own fwd/bwd, etc. ``steps`` divides totals into per-step ms
+    (pass the traced scan length)."""
+    trace = load_trace(path)
+    by_src = defaultdict(float)
+    by_file = defaultdict(float)
+    total = 0.0
+    for ev in trace.get("traceEvents", []):
+        if ev.get("ph") != "X":
+            continue
+        if re.fullmatch(r"\d+|while(\.\d+)?", ev.get("name", "")):
+            continue  # step/scan envelopes double-count their children
+        src = ev.get("args", {}).get("source")
+        if src is None:
+            continue
+        dur = float(ev.get("dur", 0.0))
+        total += dur
+        by_src[src] += dur
+        by_file[src.split(":")[0]] += dur
+    k = steps * 1e3
+    print(f"source-attributed device time: {total / k:.2f} ms/step "
+          f"({steps} steps)")
+    print("\nby file:")
+    for f, d in sorted(by_file.items(), key=lambda kv: -kv[1])[:15]:
+        print(f"  {d / k:8.3f} ms/step {d / total * 100:5.1f}%  {f}")
+    print(f"\nby line (top {top}):")
+    for s, d in sorted(by_src.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"  {d / k:8.3f} ms/step {d / total * 100:5.1f}%  {s}")
+    return by_file, by_src
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("path")
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--by-source", action="store_true",
+                    help="aggregate by emitting python source line "
+                         "(per-stage attribution)")
+    ap.add_argument("--steps", type=int, default=4,
+                    help="steps in the traced window (bench.py's "
+                         "KFB_PROFILE traces 4); divides into ms/step")
     args = ap.parse_args(argv)
-    summarize(args.path, args.top)
+    if args.by_source:
+        summarize_by_source(args.path, args.top, args.steps)
+    else:
+        summarize(args.path, args.top)
     return 0
 
 
