@@ -187,6 +187,10 @@ def _build(model_name, batch, image, num_classes):
             # local-batch semantics: 1/N matches the per-device factor
             # workload of an N-way mesh; see KFACConfig.factor_batch_frac)
             factor_batch_frac=_env_f("KFB_FACTOR_FRAC", 1.0),
+            # conv factor statistics from every ss-th spatial position
+            # (1/ss^2 the factor-GEMM flops + patch traffic; the KFC
+            # estimator over a position subset — see KFACConfig)
+            factor_spatial_stride=_env_i("KFB_SPATIAL_STRIDE", 1),
             factor_ema_blockwise=bool(_env_i("KFB_EMA_BLOCKWISE", 0)),
             # 'concat' | 'fused_concat' | 'blockwise' (see KFACConfig);
             # empty = resolve from KFB_EMA_BLOCKWISE

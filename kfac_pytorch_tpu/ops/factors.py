@@ -373,6 +373,7 @@ def compute_a_conv(
     dtype=jnp.float32,
     precision=None,
     impl: str = "xla",
+    spatial_stride: int = 1,
 ) -> jax.Array:
     """A factor for a conv layer. a: (B, H, W, C) NHWC.
 
@@ -386,6 +387,33 @@ def compute_a_conv(
     unsupported layers and non-TPU backends fall back to the XLA path.
     """
     batch_size = a.shape[0]
+    if spatial_stride > 1:
+        # spatial-position subsampling (KFC estimator over every
+        # spatial_stride-th output position in each dim): the A Gram's
+        # rows are B*OH*OW patch rows — statistically a sample over
+        # positions already (KFC's spatially-uncorrelated-derivatives
+        # approximation) — so a strided position subset is the same
+        # estimator at 1/ss^2 the GEMM flops AND patch traffic; the
+        # strided subset never materializes the skipped patches
+        # (extract_patches at strides*ss). Unbiasedness: sampled Gram
+        # ~ (t/T) * full Gram; scale uses 1/(T*t*B) instead of
+        # 1/(T*T*B). Deterministic phase (position 0 of each tile):
+        # fine under the EMA's ~20-step averaging, and exact whenever
+        # statistics are position-stationary.
+        kh, kw = kernel_size
+        sh, sw = strides
+        (ph0, ph1), (pw0, pw1) = padding
+        oh = (a.shape[1] + ph0 + ph1 - kh) // sh + 1
+        ow = (a.shape[2] + pw0 + pw1 - kw) // sw + 1
+        t_full = oh * ow
+        p = extract_patches(
+            a, kernel_size, (sh * spatial_stride, sw * spatial_stride),
+            padding,
+        )
+        t_sub = p.shape[1] * p.shape[2]
+        v = p.reshape(-1, p.shape[-1])
+        scale = 1.0 / (t_full * t_sub * batch_size)
+        return _cov_with_bias(v, scale, has_bias, 1.0, dtype, precision)
     impl = resolve_a_conv_impl(a.shape, kernel_size, strides, padding, impl)
     if impl in ("taps", "pallas", "pallas_poly"):
         if impl == "taps":
@@ -451,6 +479,7 @@ def compute_g_conv(
     *,
     dtype=jnp.float32,
     precision=None,
+    spatial_stride: int = 1,
 ) -> jax.Array:
     """G factor for a conv layer. g: (B, OH, OW, C) NHWC output cotangent.
 
@@ -460,6 +489,12 @@ def compute_g_conv(
     """
     batch_size = g.shape[0]
     spatial_size = g.shape[1] * g.shape[2]
+    if spatial_stride > 1:
+        # position subsampling (see compute_a_conv): keep the FULL
+        # spatial_size in the row scaling (it is part of the estimator's
+        # definition, not a mean over sampled rows); the division by the
+        # ACTUAL sampled row count below makes the sampled Gram unbiased
+        g = g[:, ::spatial_stride, ::spatial_stride]
     v = g.reshape(-1, g.shape[-1])
     rows = v.shape[0]
     bs = float(batch_size) if batch_averaged else 1.0

@@ -396,6 +396,7 @@ class BlockKFAC:
         run_key = None
 
         frac = cfg.factor_batch_frac
+        sstride = cfg.factor_spatial_stride
 
         def sub_batch(a, g):
             """Factor statistics from the first ``frac`` of the batch
@@ -416,8 +417,8 @@ class BlockKFAC:
         def emit_per_row(items, a_impl):
             for s, a, g in items:
                 emit(
-                    compute_factor_a(s, a, prec, fdt, a_impl)[None],
-                    compute_factor_g(s, g, prec, fdt)[None],
+                    compute_factor_a(s, a, prec, fdt, a_impl, sstride)[None],
+                    compute_factor_g(s, g, prec, fdt, sstride)[None],
                 )
 
         def flush():
@@ -445,10 +446,11 @@ class BlockKFAC:
                 emit_per_row(items, a_impl)
                 return
             fa = jax.vmap(
-                lambda ax: compute_factor_a(s0, ax, prec, fdt, a_impl)
+                lambda ax: compute_factor_a(s0, ax, prec, fdt, a_impl,
+                                            sstride)
             )(jnp.stack([a for _, a, _ in items]))
             fg = jax.vmap(
-                lambda gx: compute_factor_g(s0, gx, prec, fdt)
+                lambda gx: compute_factor_g(s0, gx, prec, fdt, sstride)
             )(jnp.stack([g for _, _, g in items]))
             emit(fa, fg)
 
@@ -492,11 +494,13 @@ class BlockKFAC:
                     lambda ax: fops.compute_a_conv(
                         ax, s0.kernel_size, s0.strides, s0.padding,
                         s0.has_bias, precision=prec, dtype=fdt,
+                        spatial_stride=sstride,
                     )
                 )(a_g)  # grouped: per-group C is small; XLA path
                 fg = jax.vmap(
                     lambda gx: fops.compute_g_conv(gx, precision=prec,
-                                                   dtype=fdt)
+                                                   dtype=fdt,
+                                                   spatial_stride=sstride)
                 )(g_g)
                 emit(fa, fg)
         flush()

@@ -113,7 +113,8 @@ def write_grad_2d(node: Dict[str, jax.Array], spec: LayerSpec,
 
 
 def compute_factor_a(spec: LayerSpec, a: jax.Array, precision=None,
-                     dtype=jnp.float32, impl: str = "xla") -> jax.Array:
+                     dtype=jnp.float32, impl: str = "xla",
+                     spatial_stride: int = 1) -> jax.Array:
     """Kronecker A factor for one layer (dense or conv) from its input.
 
     Grouped convs use only the group's input-channel slice (block-diagonal
@@ -127,11 +128,12 @@ def compute_factor_a(spec: LayerSpec, a: jax.Array, precision=None,
     return fops.compute_a_conv(
         a, spec.kernel_size, spec.strides, spec.padding, spec.has_bias,
         precision=precision, dtype=dtype, impl=impl,
+        spatial_stride=spatial_stride,
     )
 
 
 def compute_factor_g(spec: LayerSpec, g: jax.Array, precision=None,
-                     dtype=jnp.float32) -> jax.Array:
+                     dtype=jnp.float32, spatial_stride: int = 1) -> jax.Array:
     """Kronecker G factor for one layer from its output cotangent."""
     if spec.kind == DENSE:
         return fops.compute_g_dense(g, batch_averaged=True,
@@ -140,7 +142,7 @@ def compute_factor_g(spec: LayerSpec, g: jax.Array, precision=None,
         og = spec.out_dim
         g = g[..., spec.group_idx * og : (spec.group_idx + 1) * og]
     return fops.compute_g_conv(g, batch_averaged=True, precision=precision,
-                               dtype=dtype)
+                               dtype=dtype, spatial_stride=spatial_stride)
 
 
 def _get_path(tree, path):
@@ -234,6 +236,17 @@ class KFACConfig:
     # Cotangent rows are rescaled by 1/frac so the batch-mean loss scaling
     # stays exact (the reference's local loss is a local-batch mean).
     factor_batch_frac: float = 1.0
+    # Spatial-position subsampling for CONV factor statistics: compute the
+    # A/G Grams from every factor_spatial_stride-th output position in each
+    # spatial dim (1/ss^2 of the patch rows). The KFC estimator already
+    # treats positions as samples (spatially-uncorrelated-derivatives
+    # approximation, Grosse & Martens KFC); a strided subset is the same
+    # estimator with fewer samples — unbiased (sampled-row scaling, see
+    # ops/factors.compute_a_conv) and exact whenever the statistics are
+    # position-stationary. At TCov=1 the conv factor GEMMs are ~1.28
+    # TFLOP/step on RN50 bs32/224 (3x the model's own flops, MXU-bound at
+    # ~190 TF/s — BENCH_NOTES round-4 attribution); ss=2 cuts that 4x.
+    factor_spatial_stride: int = 1
     # EMA fresh factors directly into state sub-blocks (BlockKFAC, dp/
     # single-program): no identity-embedded fresh copy, no concat.
     # Mathematically identical to the concat path (pad rows satisfy
@@ -586,11 +599,13 @@ class KFAC:
     def _compute_a(self, spec: LayerSpec, a: jax.Array) -> jax.Array:
         return compute_factor_a(spec, a, self.config.precision,
                                 self.config._factor_dtype,
-                                self.config.factor_impl)
+                                self.config.factor_impl,
+                                self.config.factor_spatial_stride)
 
     def _compute_g(self, spec: LayerSpec, g: jax.Array) -> jax.Array:
         return compute_factor_g(spec, g, self.config.precision,
-                                self.config._factor_dtype)
+                                self.config._factor_dtype,
+                                self.config.factor_spatial_stride)
 
     # ---------------------------------------------------------- step
 

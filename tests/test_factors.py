@@ -183,3 +183,67 @@ def test_cov_with_bias_sym_path():
     finally:
         F._SYM_GRAM_MIN_FLOPS = orig
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_compute_a_conv_spatial_stride_unbiased_form():
+    """ss=2 must equal the naive estimator over the strided position
+    subset with the 1/(T_full * t_sub * B) scaling (unbiased sampled-Gram
+    form), and reduce exactly to the full computation at ss=1."""
+    rng = np.random.RandomState(7)
+    a = rng.randn(2, 8, 8, 3).astype(np.float32)
+    ks, st, pad = (3, 3), (1, 1), ((1, 1), (1, 1))
+    full = np.asarray(
+        F.compute_a_conv(jnp.asarray(a), ks, st, pad, has_bias=True)
+    )
+    same = np.asarray(
+        F.compute_a_conv(jnp.asarray(a), ks, st, pad, has_bias=True,
+                         spatial_stride=1)
+    )
+    np.testing.assert_array_equal(full, same)
+    got = np.asarray(
+        F.compute_a_conv(jnp.asarray(a), ks, st, pad, has_bias=True,
+                         spatial_stride=2)
+    )
+    p = naive_patches(a, ks, st, pad)
+    t_full = p.shape[1] * p.shape[2]
+    p = p[:, ::2, ::2]
+    t_sub = p.shape[1] * p.shape[2]
+    v = p.reshape(-1, p.shape[-1])
+    v = np.concatenate([v, np.ones((v.shape[0], 1), np.float32)], axis=1)
+    want = (v.T @ v) / (t_full * t_sub * a.shape[0])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_compute_g_conv_spatial_stride_unbiased_form():
+    rng = np.random.RandomState(8)
+    g = rng.randn(2, 8, 8, 5).astype(np.float32)
+    got = np.asarray(
+        F.compute_g_conv(jnp.asarray(g), batch_averaged=True,
+                         spatial_stride=2)
+    )
+    t_full = 64
+    gs = g[:, ::2, ::2].reshape(-1, 5)
+    v = gs * 2 * t_full  # batch undo + FULL spatial scaling (estimator def)
+    want = v.T @ (v / v.shape[0])  # divide by SAMPLED rows -> unbiased
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_spatial_stride_exact_when_position_stationary():
+    """With VALID padding and spatially-constant activations every patch
+    row is identical, so the subsampled estimator equals the full one
+    EXACTLY (the clean unbiasedness case with no border effects)."""
+    b, c = 3, 4
+    base = np.random.RandomState(9).randn(b, 1, 1, c).astype(np.float32)
+    a = np.broadcast_to(base, (b, 9, 9, c)).copy()
+    ks, st, pad = (3, 3), (1, 1), ((0, 0), (0, 0))
+    full = np.asarray(
+        F.compute_a_conv(jnp.asarray(a), ks, st, pad, has_bias=True)
+    )
+    sub = np.asarray(
+        F.compute_a_conv(jnp.asarray(a), ks, st, pad, has_bias=True,
+                         spatial_stride=2)
+    )
+    np.testing.assert_allclose(sub, full, rtol=1e-5, atol=1e-6)
+    gfull = np.asarray(F.compute_g_conv(jnp.asarray(a)))
+    gsub = np.asarray(F.compute_g_conv(jnp.asarray(a), spatial_stride=3))
+    np.testing.assert_allclose(gsub, gfull, rtol=1e-5, atol=1e-6)

@@ -490,3 +490,51 @@ def test_production_config_sharded_dp_trains():
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_block_kfac_spatial_stride_consistency():
+    """factor_spatial_stride: per-layer KFAC and BlockKFAC must subsample
+    IDENTICALLY (same estimator in both pipelines), and stride=1 must be
+    bit-identical to the default path."""
+    model, params, specs, perturbs, x, y = _setup(seed=3)
+    acts, grads, gs = _capture(model, params, perturbs, x, y)
+    base = dict(inv_type="inverse", damping=0.03, kl_clip=0.001)
+
+    blk_default = BlockKFAC(specs, KFACConfig(**base), world_size=1)
+    out_d, _ = jax.jit(
+        lambda s, g, a, p: blk_default.step(s, g, a, p, lr=0.1)
+    )(blk_default.init_state(), grads, acts, gs)
+
+    blk1 = BlockKFAC(
+        specs, KFACConfig(**base, factor_spatial_stride=1), world_size=1)
+    out_1, _ = jax.jit(
+        lambda s, g, a, p: blk1.step(s, g, a, p, lr=0.1)
+    )(blk1.init_state(), grads, acts, gs)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        out_d, out_1,
+    )
+
+    cfg2 = KFACConfig(**base, factor_spatial_stride=2)
+    ref2 = KFAC(specs, cfg2)
+    out_ref2, _ = ref2.step(ref2.init_state(), grads, acts, gs, lr=0.1)
+    blk2 = BlockKFAC(specs, cfg2, world_size=1)
+    out_blk2, _ = jax.jit(
+        lambda s, g, a, p: blk2.step(s, g, a, p, lr=0.1)
+    )(blk2.init_state(), grads, acts, gs)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-6
+        ),
+        out_ref2, out_blk2,
+    )
+    # the subsampled update must differ from the full one (it really
+    # subsampled) while staying finite
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+        out_d, out_blk2,
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) > 0
+    for leaf in jax.tree_util.tree_leaves(out_blk2):
+        assert np.all(np.isfinite(np.asarray(leaf)))
