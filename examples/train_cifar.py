@@ -100,6 +100,9 @@ def parse_args(argv=None):
                    help="bfloat16 gradient allreduce compression (the "
                         "reference's --fp16-allreduce, "
                         "pytorch_cifar10_resnet.py:252-254)")
+    p.add_argument("--factor-spatial-stride", type=int, default=1,
+                   help="conv factor statistics from every ss-th spatial "
+                        "position (see KFACConfig.factor_spatial_stride)")
     p.add_argument("--trainer", choices=["loop", "bucketed"],
                    default="loop",
                    help="'bucketed' = the bucket-resident flagship "
@@ -209,6 +212,7 @@ def main(argv=None):
                     factor_impl=args.factor_impl,
                     pcg_iters=args.pcg_iters,
                     pcg_warm_start=args.pcg_warm_start,
+                    factor_spatial_stride=args.factor_spatial_stride,
                     **KFACConfig.exclude_parts_flags(args.exclude_parts),
                 ),
                 world_size=n_dev if mesh is not None else 1,
@@ -221,6 +225,7 @@ def main(argv=None):
                 factor_decay=args.stat_decay,
                 symeig_impl=args.symeig_impl,
                 factor_impl=args.factor_impl,
+                factor_spatial_stride=args.factor_spatial_stride,
                 pcg_iters=args.pcg_iters,
                 **KFACConfig.exclude_parts_flags(args.exclude_parts),
             )

@@ -85,6 +85,10 @@ def parse_args(argv=None):
     p.add_argument("--kfac-update-freq-schedule", type=float, nargs="*",
                    default=[25, 35])
     p.add_argument("--exclude-parts", default="")
+    p.add_argument("--factor-spatial-stride", type=int, default=1,
+                   help="conv factor statistics from every ss-th spatial "
+                        "position (1/ss^2 the factor-GEMM flops; the KFC "
+                        "estimator over a position subset)")
     p.add_argument("--production", action="store_true",
                    help="use the bench-validated production K-FAC combo "
                         "(preconditioner.production_pcg_config: warm-2 "
@@ -193,6 +197,7 @@ def main(argv=None):
         common = dict(
             damping=args.damping, kl_clip=args.kl_clip,
             factor_decay=args.stat_decay,
+            factor_spatial_stride=args.factor_spatial_stride,
             **KFACConfig.exclude_parts_flags(args.exclude_parts),
         )
         blk_kw = {}
