@@ -252,3 +252,41 @@ def test_make_dataset_npz_squad(tmp_path):
     assert 0 < sp <= ep < 32
     # the span tokens decode back to the answer ("sat" = vocab id 7)
     assert d["input_ids"][0, sp] == words.index("sat")
+
+
+def test_profile_summary_by_source(tmp_path):
+    """profile_summary aggregates device events, skips scan/step envelopes,
+    and groups by the emitting source line."""
+    import gzip
+    import json as _json
+
+    from tools.profile_summary import summarize, summarize_by_source
+
+    events = [
+        {"ph": "M", "pid": 1, "name": "process_name",
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "pid": 1, "tid": 2, "name": "thread_name",
+         "args": {"name": "XLA Ops"}},
+        # envelopes that must NOT double-count
+        {"ph": "X", "pid": 1, "tid": 2, "name": "0", "dur": 1000.0},
+        {"ph": "X", "pid": 1, "tid": 2, "name": "while.8", "dur": 900.0},
+        {"ph": "X", "pid": 1, "tid": 2, "name": "fusion.1", "dur": 400.0,
+         "args": {"source": "/repo/a.py:10"}},
+        {"ph": "X", "pid": 1, "tid": 2, "name": "fusion.2", "dur": 200.0,
+         "args": {"source": "/repo/a.py:11"}},
+        {"ph": "X", "pid": 1, "tid": 2, "name": "copy.3", "dur": 100.0,
+         "args": {"source": "/repo/b.py:5"}},
+    ]
+    d = tmp_path / "plugins" / "profile" / "run1"
+    d.mkdir(parents=True)
+    with gzip.open(d / "host.trace.json.gz", "wt") as f:
+        _json.dump({"traceEvents": events}, f)
+
+    by_file, by_src = summarize_by_source(str(tmp_path), steps=1)
+    assert by_file["/repo/a.py"] == 600.0
+    assert by_file["/repo/b.py"] == 100.0
+    assert by_src["/repo/a.py:10"] == 400.0
+    # name-level view: envelopes excluded from per-op totals
+    by_class, by_name = summarize(str(tmp_path), top=5)
+    assert "0" not in by_name and "while.8" not in by_name
+    assert by_name["fusion.1"] == 400.0

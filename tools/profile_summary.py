@@ -104,6 +104,10 @@ def summarize(path: str, top: int = 25):
     trace = load_trace(path)
     by_name = defaultdict(float)
     for name, dur in device_events(trace):
+        # step-number ("0","1",...) and scan ("while.N") envelopes span
+        # their children — counting them double-counts everything
+        if re.fullmatch(r"\d+|while(\.\d+)?", name):
+            continue
         by_name[name] += dur
     if not by_name:
         # fallback: no recognizable device lanes (e.g. CPU traces) —
