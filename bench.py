@@ -249,32 +249,24 @@ def _build(model_name, batch, image, num_classes):
     return make_sgd(), make_kfac(), (x, y), scalars
 
 
-def _time_chained(raw_step, state, batch, scalars, k_hi=8, k_lo=1,
-                  warm_steps=0):
-    """Per-step time via scan-chained execution, cancelling dispatch and
-    transfer overhead: (T(k_hi) - T(k_lo)) / (k_hi - k_lo).
+def _chain_programs(raw_step, batch, scalars):
+    """The (advance, multi) jitted scan programs shared by the timing AND
+    the KFB_PROFILE trace — one definition so the traced program is
+    STRUCTURALLY the measured one (a trace of a program returning the full
+    state would carry an output-copy tail the timed program doesn't pay)."""
+    import functools
 
-    warm_steps > 0: advance the state that many steps before timing, so the
-    window measures the STEADY-STATE step (the cold-start transient —
-    identity factors, cold warm-start caches, safeguard fallbacks in the
-    NS refresh — is a one-time cost, not the per-step cost a training run
-    pays; KFB_WARM_STEPS=0 restores the old cold-window behavior)."""
     import jax
     import jax.numpy as jnp
 
-    import functools
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def advance(state, k):
+        def body(st, _):
+            st, _m = raw_step(st, batch, scalars)
+            return st, ()
 
-    if warm_steps > 0:
-        @functools.partial(jax.jit, static_argnames=("k",))
-        def advance(state, k):
-            def body(st, _):
-                st, _m = raw_step(st, batch, scalars)
-                return st, ()
-
-            st, _ = jax.lax.scan(body, state, None, length=k)
-            return st
-
-        state = jax.block_until_ready(advance(state, warm_steps))
+        st, _ = jax.lax.scan(body, state, None, length=k)
+        return st
 
     @functools.partial(jax.jit, static_argnames=("k",))
     def multi(state, k):
@@ -286,13 +278,34 @@ def _time_chained(raw_step, state, batch, scalars, k_hi=8, k_lo=1,
         # data-depend on EVERY final-state leaf: fetching only the loss
         # lets XLA dead-code state chains whose effects stay outside the
         # measured window (e.g. the factor EMA when the fused CG no longer
-        # reads A/G directly) — which would make the benchmark a lie
+        # reads A/G directly) — which would make the benchmark a lie.
+        # Returning the probe (not the state) also avoids materializing
+        # state output copies inside the measured/traced window.
         probe = sum(
             jnp.sum(l).astype(jnp.float32) * 1e-30
             for l in jax.tree_util.tree_leaves(st)
             if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)
         )
         return losses[-1] + probe
+
+    return advance, multi
+
+
+def _time_chained(raw_step, state, batch, scalars, k_hi=8, k_lo=1,
+                  warm_steps=0):
+    """Per-step time via scan-chained execution, cancelling dispatch and
+    transfer overhead: (T(k_hi) - T(k_lo)) / (k_hi - k_lo).
+
+    warm_steps > 0: advance the state that many steps before timing, so the
+    window measures the STEADY-STATE step (the cold-start transient —
+    identity factors, cold warm-start caches, safeguard fallbacks in the
+    NS refresh — is a one-time cost, not the per-step cost a training run
+    pays; KFB_WARM_STEPS=0 restores the old cold-window behavior)."""
+    import jax
+
+    advance, multi = _chain_programs(raw_step, batch, scalars)
+    if warm_steps > 0:
+        state = jax.block_until_ready(advance(state, warm_steps))
 
     def run(k):
         t0 = time.perf_counter()
@@ -313,28 +326,19 @@ def _time_chained(raw_step, state, batch, scalars, k_hi=8, k_lo=1,
 
 def _profile_steps(raw_step, state, batch, scalars, outdir, steps=4,
                    warm_steps=0):
-    """Capture an xprof/perfetto trace of the steady-state chained window
-    (same program shape as _time_chained's measurement: warm advance, then
-    one scan of ``steps`` steps). Summarize with tools/profile_summary.py."""
-    import functools
-
+    """Capture an xprof/perfetto trace of the steady-state chained window —
+    LITERALLY the program _time_chained measures (_chain_programs' ``multi``
+    with its scalar probe return; returning the full state instead would
+    add a per-step state output-copy tail the timed program doesn't pay).
+    Summarize with tools/profile_summary.py."""
     import jax
-    import jax.numpy as jnp
 
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def advance(st, k):
-        def body(s, _):
-            s, _m = raw_step(s, batch, scalars)
-            return s, ()
-
-        s, _ = jax.lax.scan(body, st, None, length=k)
-        return s
-
+    advance, multi = _chain_programs(raw_step, batch, scalars)
     if warm_steps > 0:
         state = jax.block_until_ready(advance(state, warm_steps))
-    jax.block_until_ready(advance(state, steps))  # compile outside trace
+    jax.block_until_ready(multi(state, steps))  # compile outside trace
     with jax.profiler.trace(outdir):
-        jax.block_until_ready(advance(state, steps))
+        jax.block_until_ready(multi(state, steps))
 
 
 def main():

@@ -238,7 +238,7 @@ def main(argv=None):
     tx = lr_schedules.sgd_optimizer(lr_fn, args.momentum, args.wd)
     state = TrainState(
         params=params,
-        opt_state=tx.init(params),
+        opt_state=tx.init(params) if args.trainer == "loop" else None,
         kfac_state=kfac.init_state() if kfac else None,
         model_state=model_state,
     )
@@ -251,35 +251,16 @@ def main(argv=None):
             )
         if args.kfac_type != "Femp":
             raise SystemExit("--trainer bucketed supports --kfac-type Femp")
-        from kfac_pytorch_tpu.training.bucketed import (
-            init_bucketed_state,
-            make_bucketed_train_step,
-            make_sharded_bucketed_train_step,
-            shard_bucketed_state,
-        )
+        from kfac_pytorch_tpu.training.bucketed import build_bucketed_trainer
 
-        state = init_bucketed_state(kfac, params, model_state=model_state)
-        if mesh is not None:
-            local_pert = ktpu.make_zero_perturbations(
-                model, {"params": params, **model_state},
-                sample[: args.batch_size], train=True,
-            )
-            train_step = make_sharded_bucketed_train_step(
-                model, kfac, mesh, state, local_pert,
-                momentum=args.momentum, weight_decay=args.wd,
-                label_smoothing=args.label_smoothing,
-                train_kwargs={"train": True},
-                grad_compression="bf16" if args.bf16_allreduce else None,
-            )
-            state = shard_bucketed_state(mesh, kfac, state)
-        else:
-            train_step = jax.jit(make_bucketed_train_step(
-                model, kfac,
-                momentum=args.momentum, weight_decay=args.wd,
-                label_smoothing=args.label_smoothing,
-                perturb_template=perturbs,
-                train_kwargs={"train": True},
-            ))
+        train_step, state = build_bucketed_trainer(
+            model, kfac, params, model_state, sample,
+            mesh=mesh,
+            micro_batch=args.batch_size if mesh is not None else global_bs,
+            momentum=args.momentum, weight_decay=args.wd,
+            label_smoothing=args.label_smoothing,
+            grad_compression="bf16" if args.bf16_allreduce else None,
+        )
     elif mesh is not None:
         local_pert = (
             ktpu.make_zero_perturbations(

@@ -208,7 +208,13 @@ def main(argv=None):
                 production_block_kwargs, production_pcg_config)
             from kfac_pytorch_tpu.utils.calibration import apply_calibration
 
-            cfg = production_pcg_config(**common)
+            # static_schedule=False: the bench compiles its canonical
+            # TCov=TInv=1 config with static gates, but a REAL run drives
+            # the update freqs dynamically through KFACParamScheduler
+            # (epoch decay) — under static_schedule the bucketed trainer
+            # passes freq=None and the scheduler (and --kfac-update-freq)
+            # would be silently ignored (training/bucketed.py step gating)
+            cfg = production_pcg_config(static_schedule=False, **common)
             blk_kw = production_block_kwargs(apply_calibration())
         else:
             cfg = KFACConfig(inv_type=inv_type, strategy=strategy, **common)
@@ -220,7 +226,10 @@ def main(argv=None):
     )
     tx = lr_schedules.sgd_optimizer(lr_fn, args.momentum, args.wd)
     state = TrainState(
-        params=params, opt_state=tx.init(params),
+        # bucketed trainer: momentum lives in bucket form — skip the
+        # params-sized optax state allocation it would discard
+        params=params,
+        opt_state=tx.init(params) if args.trainer == "loop" else None,
         kfac_state=kfac.init_state() if kfac else None,
         model_state=model_state,
     )
@@ -253,41 +262,21 @@ def main(argv=None):
             state = jax.tree_util.tree_map(jnp.asarray, state)
 
     if args.trainer == "bucketed":
-        from kfac_pytorch_tpu.training.bucketed import (
-            make_bucketed_train_step,
-            make_sharded_bucketed_train_step,
-            shard_bucketed_state,
-        )
+        from kfac_pytorch_tpu.training.bucketed import build_bucketed_trainer
 
-        if mesh is not None:
-            # perturb template sized for the MICRO-batch (device-local
-            # rows / n_accum) — see make_bucketed_train_step
-            local_pert = ktpu.make_zero_perturbations(
-                model, {"params": params, **model_state},
-                sample[: args.batch_size], train=True,
-            )
-            train_step = make_sharded_bucketed_train_step(
-                model, kfac, mesh, state, local_pert,
-                momentum=args.momentum, weight_decay=args.wd,
-                label_smoothing=args.label_smoothing,
-                train_kwargs={"train": True},
-                n_accum=n_accum,
-                grad_compression="bf16" if args.bf16_allreduce else None,
-            )
-            state = shard_bucketed_state(mesh, kfac, state)
-        else:
-            micro_pert = ktpu.make_zero_perturbations(
-                model, {"params": params, **model_state},
-                sample[: global_bs // n_accum], train=True,
-            )
-            train_step = jax.jit(make_bucketed_train_step(
-                model, kfac,
-                momentum=args.momentum, weight_decay=args.wd,
-                label_smoothing=args.label_smoothing,
-                perturb_template=micro_pert,
-                train_kwargs={"train": True},
-                n_accum=n_accum,
-            ))
+        # perturb templates sized for the MICRO-batch (device-local rows /
+        # n_accum) — see make_bucketed_train_step
+        train_step, state = build_bucketed_trainer(
+            model, kfac, params, model_state, sample,
+            state=state,  # possibly checkpoint-restored above
+            mesh=mesh,
+            micro_batch=(args.batch_size if mesh is not None
+                         else global_bs // n_accum),
+            momentum=args.momentum, weight_decay=args.wd,
+            label_smoothing=args.label_smoothing,
+            n_accum=n_accum,
+            grad_compression="bf16" if args.bf16_allreduce else None,
+        )
     elif mesh is not None:
         local_sample = sample[: args.batch_size]
         local_pert = (

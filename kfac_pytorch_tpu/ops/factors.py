@@ -387,34 +387,33 @@ def compute_a_conv(
     unsupported layers and non-TPU backends fall back to the XLA path.
     """
     batch_size = a.shape[0]
-    if spatial_stride > 1:
-        # spatial-position subsampling (KFC estimator over every
-        # spatial_stride-th output position in each dim): the A Gram's
-        # rows are B*OH*OW patch rows — statistically a sample over
-        # positions already (KFC's spatially-uncorrelated-derivatives
-        # approximation) — so a strided position subset is the same
-        # estimator at 1/ss^2 the GEMM flops AND patch traffic; the
-        # strided subset never materializes the skipped patches
-        # (extract_patches at strides*ss). Unbiasedness: sampled Gram
-        # ~ (t/T) * full Gram; scale uses 1/(T*t*B) instead of
-        # 1/(T*T*B). Deterministic phase (position 0 of each tile):
-        # fine under the EMA's ~20-step averaging, and exact whenever
-        # statistics are position-stationary.
-        kh, kw = kernel_size
-        sh, sw = strides
-        (ph0, ph1), (pw0, pw1) = padding
-        oh = (a.shape[1] + ph0 + ph1 - kh) // sh + 1
-        ow = (a.shape[2] + pw0 + pw1 - kw) // sw + 1
-        t_full = oh * ow
-        p = extract_patches(
-            a, kernel_size, (sh * spatial_stride, sw * spatial_stride),
-            padding,
-        )
-        t_sub = p.shape[1] * p.shape[2]
-        v = p.reshape(-1, p.shape[-1])
-        scale = 1.0 / (t_full * t_sub * batch_size)
-        return _cov_with_bias(v, scale, has_bias, 1.0, dtype, precision)
-    impl = resolve_a_conv_impl(a.shape, kernel_size, strides, padding, impl)
+    # Spatial-position subsampling (KFC estimator over every
+    # spatial_stride-th output position in each dim): the A Gram's rows
+    # are B*OH*OW patch rows — statistically a sample over positions
+    # already (KFC's spatially-uncorrelated-derivatives approximation) —
+    # so a strided position subset is the same estimator at 1/ss^2 the
+    # GEMM flops AND patch traffic. It composes with EVERY impl: the
+    # effective extraction strides become strides*ss (skipped patches are
+    # never materialized; the pallas streaming kernel and the impl
+    # dispatch see the subsampled geometry). Unbiasedness: sampled Gram
+    # ~ (t/T) * full Gram; scale uses 1/(T_full*t_sub*B) instead of
+    # 1/(T*T*B) — the bias column's corner stays exactly 1/T_full.
+    # Deterministic phase (position 0 of each tile): fine under the EMA's
+    # ~20-step averaging, and exact whenever statistics are
+    # position-stationary.
+    ss = max(int(spatial_stride), 1)
+    kh, kw = kernel_size
+    sh, sw = strides
+    (ph0, ph1), (pw0, pw1) = padding
+    t_full = (
+        ((a.shape[1] + ph0 + ph1 - kh) // sh + 1)
+        * ((a.shape[2] + pw0 + pw1 - kw) // sw + 1)
+    )
+    eff_strides = (sh * ss, sw * ss)
+    impl = resolve_a_conv_impl(a.shape, kernel_size, eff_strides, padding,
+                               impl)
+    if impl == "taps" and ss > 1:
+        impl = "xla"  # tap_cov has no strided form (stride-1 tap algebra)
     if impl in ("taps", "pallas", "pallas_poly"):
         if impl == "taps":
             from kfac_pytorch_tpu.ops.pallas import tap_cov as tcov
@@ -424,17 +423,17 @@ def compute_a_conv(
             from kfac_pytorch_tpu.ops.pallas import patch_cov as pcov
 
             pp = pcov.patch_cov_polyphase(
-                a.astype(jnp.float32), kernel_size, strides, padding
+                a.astype(jnp.float32), kernel_size, eff_strides, padding
             )
         else:
             from kfac_pytorch_tpu.ops.pallas import patch_cov as pcov
 
             pp = pcov.patch_cov(
-                a.astype(jnp.float32), kernel_size, strides, padding
+                a.astype(jnp.float32), kernel_size, eff_strides, padding
             )
-        col, n_rows = _patch_col_sums(a, kernel_size, strides, padding)
-        oh_ow = n_rows // batch_size
-        scale = 1.0 / (oh_ow * oh_ow * batch_size)
+        col, n_rows = _patch_col_sums(a, kernel_size, eff_strides, padding)
+        t_sub = n_rows // batch_size
+        scale = 1.0 / (t_full * t_sub * batch_size)
         pp = pp * scale
         if not has_bias:
             return pp
@@ -443,12 +442,13 @@ def compute_a_conv(
         top = jnp.concatenate([pp, col[:, None]], axis=1)
         bot = jnp.concatenate([col, corner[None]])[None, :]
         return jnp.concatenate([top, bot], axis=0)
-    p = extract_patches(a, kernel_size, strides, padding)
-    spatial_size = p.shape[1] * p.shape[2]
+    p = extract_patches(a, kernel_size, eff_strides, padding)
+    t_sub = p.shape[1] * p.shape[2]
     v = p.reshape(-1, p.shape[-1])
     # reference scaling: rows (incl. the appended ones) divided by
     # spatial_size, covariance by batch — folded into one post-GEMM scale
-    scale = 1.0 / (spatial_size * spatial_size * batch_size)
+    # (t_sub == t_full at ss=1: exactly the reference's 1/(T*T*B))
+    scale = 1.0 / (t_full * t_sub * batch_size)
     return _cov_with_bias(v, scale, has_bias, 1.0, dtype, precision)
 
 

@@ -177,6 +177,11 @@ def make_bucketed_train_step(
     backward and the preconditioner reads the final ones. The
     ``perturb_template`` must then be shaped for the MICRO-batch.
 
+    NOTE: with ``kfac.config.static_schedule`` the scalars'
+    fac/kfac_update_freq are IGNORED — gating is compiled from the config's
+    static freqs (the bench fast path). Drive dynamic schedules
+    (KFACParamScheduler) with static_schedule=False.
+
     ``grad_compression='bf16'`` casts gradients to bfloat16 for the
     data-parallel pmean (the reference's ``--fp16-allreduce``,
     hvd.Compression.fp16, pytorch_cifar10_resnet.py:254) and back; it only
@@ -388,3 +393,66 @@ def make_bucketed_train_step(
         )
 
     return train_step
+
+
+def build_bucketed_trainer(
+    model,
+    kfac: BlockKFAC,
+    params,
+    model_state,
+    sample,
+    *,
+    mesh=None,
+    micro_batch: int,
+    momentum: float = 0.9,
+    weight_decay: float = 0.0,
+    label_smoothing: float = 0.0,
+    n_accum: int = 1,
+    grad_compression=None,
+    train_kwargs=None,
+    state: "BucketedTrainState" = None,
+):
+    """One-call harness wiring for the bucket-resident flagship pipeline.
+
+    Builds the BucketedTrainState and the jitted train step — the shared
+    glue of `examples/train_cifar.py --trainer bucketed` and
+    `examples/train_imagenet.py --trainer bucketed` (single-program when
+    ``mesh`` is None, shard_map over the mesh otherwise).
+
+    ``micro_batch``: rows the capture templates are sized for — the
+    device-local batch divided by ``n_accum`` (see make_bucketed_train_step:
+    the perturb template is per MICRO-batch).
+
+    Returns ``(train_step, state)`` with
+    ``train_step(state, batch, scalars) -> (state, metrics)``.
+    """
+    import kfac_pytorch_tpu as ktpu
+
+    train_kwargs = dict(train_kwargs or {"train": True})
+    if state is None:
+        state = init_bucketed_state(kfac, params, model_state=model_state)
+    else:
+        # caller-provided state (e.g. restored from a checkpoint against
+        # an init_bucketed_state template) — wire, don't re-init
+        params = state.params
+        model_state = state.model_state
+    pert = ktpu.make_zero_perturbations(
+        model, {"params": params, **model_state}, sample[:micro_batch],
+        **train_kwargs,
+    )
+    common = dict(
+        momentum=momentum, weight_decay=weight_decay,
+        label_smoothing=label_smoothing, train_kwargs=train_kwargs,
+        n_accum=n_accum,
+    )
+    if mesh is not None:
+        step = make_sharded_bucketed_train_step(
+            model, kfac, mesh, state, pert,
+            grad_compression=grad_compression, **common,
+        )
+        state = shard_bucketed_state(mesh, kfac, state)
+    else:
+        step = jax.jit(make_bucketed_train_step(
+            model, kfac, perturb_template=pert, **common,
+        ))
+    return step, state

@@ -23,20 +23,23 @@ import re
 import sys
 from collections import defaultdict
 
-# op-class buckets by event-name prefix/substring (XLA HLO naming)
+# op-class buckets by event-name substring (XLA HLO naming; order matters —
+# first match wins, so the specific fusion flavors come before the generic
+# 'fusion' substring match, which also catches XLA's '<rootop>_fusion.N'
+# names like multiply_add_fusion.511)
 _CLASSES = [
-    ("convolution", re.compile(r"^(%?)(\w*)?conv")),
-    ("dot/matmul", re.compile(r"^(%?)dot|matmul|gemm", re.I)),
-    ("fusion", re.compile(r"^(%?)(loop_|input_|output_)?fusion")),
-    ("copy/transpose", re.compile(r"^(%?)(copy|transpose|bitcast)")),
     ("dyn-update-slice", re.compile(r"dynamic.?update.?slice", re.I)),
     ("dyn-slice/gather", re.compile(r"dynamic.?slice|gather", re.I)),
-    ("reduce", re.compile(r"^(%?)reduce")),
     ("collective", re.compile(r"all.?reduce|all.?gather|collective|"
                               r"reduce.?scatter|permute", re.I)),
     ("cholesky/tri", re.compile(r"cholesky|triangular", re.I)),
-    ("custom-call", re.compile(r"custom.?call|tpu.?custom", re.I)),
-    ("scan/while", re.compile(r"^(%?)while")),
+    ("custom-call/pallas", re.compile(r"custom.?call|tpu.?custom|patch_cov|"
+                                      r"jacobi|symeig", re.I)),
+    ("convolution", re.compile(r"^(%?)(\w*)?conv")),
+    ("dot/matmul", re.compile(r"^(%?)dot|matmul|gemm", re.I)),
+    ("copy/transpose", re.compile(r"^(%?)(copy|transpose|bitcast)")),
+    ("fusion", re.compile(r"fusion")),
+    ("reduce", re.compile(r"^(%?)reduce|select_and_scatter")),
     ("infeed/outfeed", re.compile(r"infeed|outfeed", re.I)),
 ]
 
