@@ -190,7 +190,8 @@ def _build(model_name, batch, image, num_classes):
             # conv factor statistics from every ss-th spatial position
             # (1/ss^2 the factor-GEMM flops + patch traffic; the KFC
             # estimator over a position subset — see KFACConfig)
-            factor_spatial_stride=_env_i("KFB_SPATIAL_STRIDE", 1),
+            factor_spatial_stride=_env_i("KFB_SPATIAL_STRIDE",
+                                         prod.factor_spatial_stride),
             factor_ema_blockwise=bool(_env_i("KFB_EMA_BLOCKWISE", 0)),
             # 'concat' | 'fused_concat' | 'blockwise' (see KFACConfig);
             # empty = resolve from KFB_EMA_BLOCKWISE
@@ -342,6 +343,8 @@ def _profile_steps(raw_step, state, batch, scalars, outdir, steps=4,
 
 
 def main():
+    from kfac_pytorch_tpu.preconditioner import production_pcg_config
+
     configs = [
         ("imagenet-resnet50", 32, 224, 1000),
         ("imagenet-resnet50", 16, 128, 1000),  # fallback: smaller memory
@@ -359,6 +362,8 @@ def main():
             # preconditioner refresh (pcg_precond_freq; fires at steps 0 and
             # N — a window of 1..8 would exclude it entirely and understate
             # the steady-state step cost)
+            _ss_used = _env_i("KFB_SPATIAL_STRIDE",
+                              production_pcg_config().factor_spatial_stride)
             tinv = _env_i("KFB_TINV", 1)
             tcov = _env_i("KFB_TCOV", 1)
             prec = (
@@ -393,7 +398,12 @@ def main():
                         "value": round(ratio, 4),
                         "unit": "x (kfac_step_time / sgd_step_time; "
                         f"sgd={t_sgd:.4f}s kfac={t_kfac:.4f}s; "
-                        "scan-chained timing)",
+                        "scan-chained timing"
+                        + (f"; factor_spatial_stride={_ss_used} "
+                           "(position-subsampled conv factor stats, "
+                           "convergence-validated — BENCH_NOTES r4)"
+                           if _ss_used > 1 else "")
+                        + ")",
                         "vs_baseline": round(ratio / 3.69, 4),
                     }
                 )
