@@ -377,3 +377,51 @@ def test_bucketed_sharded_accum_compression():
         results["bf16"][1].params,
         results[None][1].params,
     )
+
+
+def test_build_bucketed_trainer_resume_state_passthrough():
+    """build_bucketed_trainer(state=...) must wire the CALLER's state (the
+    checkpoint-resume path in the harnesses) — not re-init: training must
+    continue from the given momentum/factors, and the single-call builder
+    must match the hand-assembled pipeline exactly."""
+    from kfac_pytorch_tpu.training.bucketed import (
+        build_bucketed_trainer,
+        init_bucketed_state,
+        make_bucketed_train_step,
+    )
+
+    model, params, model_state, specs, perturbs, x, y = _setup(seed=5)
+    cfg = KFACConfig(inv_type="inverse", damping=0.03)
+    kfac = BlockKFAC(specs, cfg, world_size=1)
+    scalars = KFACScalars.create(lr=0.05, damping=0.03)
+
+    # hand-assembled: 4 steps straight through
+    st_ref = init_bucketed_state(kfac, params, model_state=model_state)
+    step_ref = jax.jit(make_bucketed_train_step(
+        model, kfac, perturb_template=perturbs,
+        train_kwargs={"train": True},
+    ))
+    for _ in range(4):
+        st_ref, _ = step_ref(st_ref, (x, y), scalars)
+
+    # builder: 2 steps, "checkpoint" the state, rebuild with state=..., 2 more
+    step_a, st = build_bucketed_trainer(
+        model, kfac, params, model_state, x, micro_batch=x.shape[0],
+        weight_decay=0.0,
+    )
+    for _ in range(2):
+        st, _ = step_a(st, (x, y), scalars)
+    restored = jax.tree_util.tree_map(jnp.asarray, st)  # "round-trip"
+    step_b, st2 = build_bucketed_trainer(
+        model, kfac, params, model_state, x, micro_batch=x.shape[0],
+        weight_decay=0.0, state=restored,
+    )
+    for _ in range(2):
+        st2, _ = step_b(st2, (x, y), scalars)
+
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        ),
+        st_ref.params, st2.params,
+    )
