@@ -151,3 +151,41 @@ def test_per_layer_and_bucketed_agree_with_groups():
         out_a,
         out_b,
     )
+
+
+def test_grouped_per_layer_and_bucketed_agree_with_spatial_stride():
+    """factor_spatial_stride=2 must subsample identically in the per-layer
+    and bucketed GROUPED-conv paths (they call compute_a_conv/compute_g_conv
+    through different plumbing), and differ from the full-position update."""
+    model, params, specs, perturbs, x, y = _setup(seed=4)
+
+    def loss_fn(p, pert):
+        out, muts = model.apply({"params": p, COL_G: pert}, x, mutable=[COL_A])
+        oh = jax.nn.one_hot(y, 5)
+        return -jnp.mean(jnp.sum(oh * jax.nn.log_softmax(out), -1)), muts[COL_A]
+
+    (_, acts), (grads, gs) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True
+    )(params, perturbs)
+    cfg = KFACConfig(inv_type="eigen", damping=0.03, kl_clip=0.001,
+                     factor_spatial_stride=2)
+    out_a, _ = KFAC(specs, cfg).step(
+        KFAC(specs, cfg).init_state(), grads, acts, gs, lr=0.1
+    )
+    blk = BlockKFAC(specs, cfg, world_size=1)
+    out_b, _ = blk.step(blk.init_state(), grads, acts, gs, lr=0.1)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-6
+        ),
+        out_a, out_b,
+    )
+    cfg1 = KFACConfig(inv_type="eigen", damping=0.03, kl_clip=0.001)
+    out_full, _ = KFAC(specs, cfg1).step(
+        KFAC(specs, cfg1).init_state(), grads, acts, gs, lr=0.1
+    )
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+        out_a, out_full,
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) > 0
