@@ -309,6 +309,7 @@ def resolve_a_conv_impl(
     strides: Tuple[int, int],
     padding: PadPairs,
     impl: str,
+    subsample: int = 1,
 ) -> str:
     """Statically resolve compute_a_conv's ``impl`` dispatch for one input
     geometry — 'auto' applies the measured policy; 'pallas'/'taps' fall back
@@ -317,6 +318,14 @@ def resolve_a_conv_impl(
     group is vmappable (XLA path) or must run the fused kernel per row."""
     b, h, w, c = shape
     was_auto = impl == "auto"
+    if impl == "auto" and subsample > 1:
+        # Under position subsampling (factor_spatial_stride) the XLA path
+        # materializes only 1/ss^2 of the patch rows — the traffic the
+        # fused Pallas kernel exists to avoid — while the kernel still
+        # streams the full input. Measured on-chip at ss=2 (RN50 bs32/224,
+        # r4d_ss2_xlafactor): forced-xla 1.7225x vs auto-with-pallas
+        # 1.795-1.800x. Explicit impl='pallas' is still honored.
+        impl = "xla"
     if impl == "auto":
         # Measured dispatch policy (v5e, long warm chained probes, bs32
         # RN50 3x3 shapes, VMEM-sized single/multi column-chunk kernel):
@@ -329,9 +338,10 @@ def resolve_a_conv_impl(
         # rows/c separates the regimes by ~8x on both sides (196 vs 24.5),
         # so gate at the geometric middle.
         kh, kw = kernel_size
+        sh, sw = strides[0] * subsample, strides[1] * subsample
         (ph0, ph1), (pw0, pw1) = padding
-        oh = (h + ph0 + ph1 - kh) // strides[0] + 1
-        ow = (w + pw0 + pw1 - kw) // strides[1] + 1
+        oh = (h + ph0 + ph1 - kh) // sh + 1
+        ow = (w + pw0 + pw1 - kw) // sw + 1
         rows = b * oh * ow
         impl = "pallas" if rows >= _PALLAS_ROWS_PER_C * c else "xla"
     if impl == "taps":
@@ -410,8 +420,8 @@ def compute_a_conv(
         * ((a.shape[2] + pw0 + pw1 - kw) // sw + 1)
     )
     eff_strides = (sh * ss, sw * ss)
-    impl = resolve_a_conv_impl(a.shape, kernel_size, eff_strides, padding,
-                               impl)
+    impl = resolve_a_conv_impl(a.shape, kernel_size, strides, padding,
+                               impl, subsample=ss)
     if impl == "taps" and ss > 1:
         impl = "xla"  # tap_cov has no strided form (stride-1 tap algebra)
     if impl in ("taps", "pallas", "pallas_poly"):

@@ -434,7 +434,7 @@ class BlockKFAC:
                     a_shape[-1] //= s0.n_groups
                 a_impl = fops.resolve_a_conv_impl(
                     tuple(a_shape), s0.kernel_size, s0.strides, s0.padding,
-                    a_impl,
+                    a_impl, subsample=sstride,
                 )
             batchable = (
                 cfg.factor_batch
