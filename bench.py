@@ -401,7 +401,9 @@ def main():
                         "scan-chained timing"
                         + (f"; factor_spatial_stride={_ss_used} "
                            "(position-subsampled conv factor stats, "
-                           "convergence-validated — BENCH_NOTES r4)"
+                           + ("convergence-validated — BENCH_NOTES r4)"
+                              if _ss_used == 2 else
+                              "NOT separately convergence-validated)")
                            if _ss_used > 1 else "")
                         + ")",
                         "vs_baseline": round(ratio / 3.69, 4),
