@@ -507,12 +507,15 @@ def production_pcg_config(**overrides) -> "KFACConfig":
         factor_impl="auto",
         # conv factor statistics from 1/4 of spatial positions (the KFC
         # estimator over a position subsample — factor_spatial_stride):
-        # convergence-validated as a one-variable A/B vs the full-position
-        # control (2k teacher task: val_acc 0.595 vs 0.602, both >> sgd
-        # 0.497 — BENCH_NOTES round 4) and worth -4.4 ms/step at TCov=1
-        # (1.79x vs 1.99x, two reproductions). Set 1 to restore the
-        # reference's full-position statistics (they coincide whenever
-        # statistics are position-stationary).
+        # a measured ESTIMATOR TRADE, validated by two-seed 2k one-variable
+        # A/Bs vs the full-position control (val_acc deltas -0.008/-0.037,
+        # both arms >> sgd by 6-10 points — BENCH_NOTES round 4), worth
+        # ~13% of the TCov=1 step (1.98x -> 1.72-1.74x with the
+        # subsample-aware dispatch). The same kind of default estimator
+        # trade the reference's DP-KFAC makes with local-batch factors
+        # (TCC'22). Set 1 to restore full-position statistics — preferable
+        # when the factor stage is already amortized (TCov >= 10) or when
+        # per-step update quality dominates.
         factor_spatial_stride=2,
     )
     base.update(overrides)
