@@ -106,7 +106,7 @@ def run_arm(variant, x, y, xv, yv, steps, batch, lr, damping, seed,
     kfac, perturbs = None, None
     bucketed_arm = variant in ("pcg_warm_dp", "pcg_cold_dp", "pcg_bf16_dp",
                                "pcg_prod_dp", "pcg_frac_dp", "pcg_sdt_dp",
-                               "pcg_emafused_dp", "pcg_ss2_dp")
+                               "pcg_emafused_dp", "pcg_ss2_dp", "pcg_ss3_dp")
     if variant != "sgd":
         specs, perturbs = ktpu.setup_kfac(
             model, {"params": params, **model_state}, sample, train=True
@@ -129,7 +129,7 @@ def run_arm(variant, x, y, xv, yv, steps, batch, lr, damping, seed,
 
             warm = variant in ("pcg_warm_dp", "pcg_bf16_dp",
                                "pcg_prod_dp", "pcg_frac_dp", "pcg_sdt_dp",
-                               "pcg_emafused_dp", "pcg_ss2_dp")
+                               "pcg_emafused_dp", "pcg_ss2_dp", "pcg_ss3_dp")
             extra = {}
             if prec_freq is not None:
                 extra["pcg_precond_freq"] = prec_freq
@@ -155,14 +155,16 @@ def run_arm(variant, x, y, xv, yv, steps, batch, lr, damping, seed,
                              pcg_fused="force", pcg_refresh="ns",
                              factor_dtype="auto",
                              factor_state_dtype="bfloat16")
-            if variant == "pcg_ss2_dp":
+            if variant in ("pcg_ss2_dp", "pcg_ss3_dp"):
                 # production candidate + spatial-position-subsampled conv
-                # factor statistics (factor_spatial_stride=2, 1/4 the
-                # factor-GEMM flops) — one-variable delta from pcg_prod_dp
+                # factor statistics (factor_spatial_stride=2 -> 1/4 the
+                # factor-GEMM rows, =3 -> 1/9) — one-variable delta from
+                # pcg_prod_dp per stride
                 extra.update(pcg_precond_dtype="bfloat16",
                              pcg_fused="force", pcg_refresh="ns",
                              factor_dtype="auto",
-                             factor_spatial_stride=2)
+                             factor_spatial_stride=(
+                                 2 if variant == "pcg_ss2_dp" else 3))
             if variant == "pcg_emafused_dp":
                 # production candidate + single-pass fused-concat factor
                 # EMA (factor_ema_mode='fused_concat') — a true
