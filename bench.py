@@ -192,6 +192,12 @@ def _build(model_name, batch, image, num_classes):
             # estimator over a position subset — see KFACConfig)
             factor_spatial_stride=_env_i("KFB_SPATIAL_STRIDE",
                                          prod.factor_spatial_stride),
+            # G-factor stride override (-1 = follow KFB_SPATIAL_STRIDE);
+            # A-only striding keeps ~99% of the 3x3 flop cut with exact
+            # G statistics (KFACConfig.factor_g_spatial_stride)
+            factor_g_spatial_stride=(
+                None if _env_i("KFB_G_SPATIAL_STRIDE", -1) < 0
+                else _env_i("KFB_G_SPATIAL_STRIDE", -1)),
             factor_ema_blockwise=bool(_env_i("KFB_EMA_BLOCKWISE", 0)),
             # 'concat' | 'fused_concat' | 'blockwise' (see KFACConfig);
             # empty = resolve from KFB_EMA_BLOCKWISE

@@ -397,6 +397,7 @@ class BlockKFAC:
 
         frac = cfg.factor_batch_frac
         sstride = cfg.factor_spatial_stride
+        gstride = cfg._g_spatial_stride
 
         def sub_batch(a, g):
             """Factor statistics from the first ``frac`` of the batch
@@ -418,7 +419,7 @@ class BlockKFAC:
             for s, a, g in items:
                 emit(
                     compute_factor_a(s, a, prec, fdt, a_impl, sstride)[None],
-                    compute_factor_g(s, g, prec, fdt, sstride)[None],
+                    compute_factor_g(s, g, prec, fdt, gstride)[None],
                 )
 
         def flush():
@@ -450,7 +451,7 @@ class BlockKFAC:
                                             sstride)
             )(jnp.stack([a for _, a, _ in items]))
             fg = jax.vmap(
-                lambda gx: compute_factor_g(s0, gx, prec, fdt, sstride)
+                lambda gx: compute_factor_g(s0, gx, prec, fdt, gstride)
             )(jnp.stack([g for _, _, g in items]))
             emit(fa, fg)
 

@@ -247,6 +247,13 @@ class KFACConfig:
     # TFLOP/step on RN50 bs32/224 (3x the model's own flops, MXU-bound at
     # ~190 TF/s — BENCH_NOTES round-4 attribution); ss=2 cuts that 4x.
     factor_spatial_stride: int = 1
+    # Separate stride for the G (cotangent) Grams; None = follow
+    # factor_spatial_stride. For 3x3 convs the A-factor Gram carries
+    # ~(kh*kw)^2 = 81x the G Gram's flops, so striding A ONLY
+    # (factor_spatial_stride=s, factor_g_spatial_stride=1) keeps ~99% of
+    # the flop cut while leaving the G statistics exact — a strictly
+    # smaller estimator perturbation at nearly the same step time.
+    factor_g_spatial_stride: Optional[int] = None
     # EMA fresh factors directly into state sub-blocks (BlockKFAC, dp/
     # single-program): no identity-embedded fresh copy, no concat.
     # Mathematically identical to the concat path (pad rows satisfy
@@ -305,6 +312,12 @@ class KFACConfig:
         import jax.numpy as _jnp
 
         return _jnp.dtype(self.factor_state_dtype)
+
+    @property
+    def _g_spatial_stride(self) -> int:
+        if self.factor_g_spatial_stride is None:
+            return self.factor_spatial_stride
+        return self.factor_g_spatial_stride
 
     @property
     def _factor_dtype(self):
@@ -617,7 +630,7 @@ class KFAC:
     def _compute_g(self, spec: LayerSpec, g: jax.Array) -> jax.Array:
         return compute_factor_g(spec, g, self.config.precision,
                                 self.config._factor_dtype,
-                                self.config.factor_spatial_stride)
+                                self.config._g_spatial_stride)
 
     # ---------------------------------------------------------- step
 

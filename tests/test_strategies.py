@@ -376,6 +376,9 @@ def test_direct_ema_sharded_dp_owner_only(mode):
     # the round-4 factor-state traffic candidates: direct fused-concat EMA
     # + bf16 factor-state storage (validated here under SPMD)
     dict(factor_ema_mode="fused_concat", factor_state_dtype="bfloat16"),
+    # A-only position subsampling (strided A Grams, exact G Grams):
+    # validates the split-stride dispatch under SPMD
+    dict(factor_g_spatial_stride=1),
 ])
 def test_production_config_sharded_matches_single_program(extras):
     """The EXACT shipped production config (preconditioner.
@@ -544,3 +547,55 @@ def test_block_kfac_spatial_stride_consistency():
     assert max(jax.tree_util.tree_leaves(diffs)) > 0
     for leaf in jax.tree_util.tree_leaves(out_blk2):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_block_kfac_g_spatial_stride_split():
+    """factor_g_spatial_stride: None follows factor_spatial_stride
+    bit-exactly; the A-only split (ss=2, gss=1) must reproduce ss=2's A
+    factors and ss=1's G factors in the same step (per-layer KFAC and
+    BlockKFAC agree)."""
+    model, params, specs, perturbs, x, y = _setup(seed=5)
+    acts, grads, gs = _capture(model, params, perturbs, x, y)
+    base = dict(inv_type="inverse", damping=0.03, kl_clip=0.001)
+
+    def blk_state(**extra):
+        blk = BlockKFAC(specs, KFACConfig(**base, **extra), world_size=1)
+        out, st = jax.jit(
+            lambda s, g, a, p: blk.step(s, g, a, p, lr=0.1)
+        )(blk.init_state(), grads, acts, gs)
+        return out, st
+
+    # follow semantics: gss=None == gss=ss, bit-identical
+    out_f, st_f = blk_state(factor_spatial_stride=2)
+    out_e, st_e = blk_state(factor_spatial_stride=2,
+                            factor_g_spatial_stride=2)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        (out_f, st_f), (out_e, st_e),
+    )
+
+    # split semantics: A from ss=2, G from ss=1
+    _, st_ss1 = blk_state(factor_spatial_stride=1)
+    _, st_split = blk_state(factor_spatial_stride=2,
+                            factor_g_spatial_stride=1)
+    for b1, b2, bs in zip(st_f["buckets"], st_ss1["buckets"],
+                          st_split["buckets"]):
+        np.testing.assert_array_equal(np.asarray(bs["A"]),
+                                      np.asarray(b1["A"]))
+        np.testing.assert_array_equal(np.asarray(bs["G"]),
+                                      np.asarray(b2["G"]))
+
+    # per-layer KFAC resolves the same split
+    cfg = KFACConfig(**base, factor_spatial_stride=2,
+                     factor_g_spatial_stride=1)
+    ref = KFAC(specs, cfg)
+    out_ref, _ = ref.step(ref.init_state(), grads, acts, gs, lr=0.1)
+    out_blk, _ = blk_state(factor_spatial_stride=2,
+                           factor_g_spatial_stride=1)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-6
+        ),
+        out_ref, out_blk,
+    )

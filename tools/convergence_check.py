@@ -106,7 +106,8 @@ def run_arm(variant, x, y, xv, yv, steps, batch, lr, damping, seed,
     kfac, perturbs = None, None
     bucketed_arm = variant in ("pcg_warm_dp", "pcg_cold_dp", "pcg_bf16_dp",
                                "pcg_prod_dp", "pcg_frac_dp", "pcg_sdt_dp",
-                               "pcg_emafused_dp", "pcg_ss2_dp", "pcg_ss3_dp")
+                               "pcg_emafused_dp", "pcg_ss2_dp", "pcg_ss3_dp",
+                               "pcg_ssa2_dp", "pcg_ssa3_dp")
     if variant != "sgd":
         specs, perturbs = ktpu.setup_kfac(
             model, {"params": params, **model_state}, sample, train=True
@@ -129,7 +130,8 @@ def run_arm(variant, x, y, xv, yv, steps, batch, lr, damping, seed,
 
             warm = variant in ("pcg_warm_dp", "pcg_bf16_dp",
                                "pcg_prod_dp", "pcg_frac_dp", "pcg_sdt_dp",
-                               "pcg_emafused_dp", "pcg_ss2_dp", "pcg_ss3_dp")
+                               "pcg_emafused_dp", "pcg_ss2_dp", "pcg_ss3_dp",
+                               "pcg_ssa2_dp", "pcg_ssa3_dp")
             extra = {}
             if prec_freq is not None:
                 extra["pcg_precond_freq"] = prec_freq
@@ -165,6 +167,17 @@ def run_arm(variant, x, y, xv, yv, steps, batch, lr, damping, seed,
                              factor_dtype="auto",
                              factor_spatial_stride=(
                                  2 if variant == "pcg_ss2_dp" else 3))
+            if variant in ("pcg_ssa2_dp", "pcg_ssa3_dp"):
+                # A-only position subsampling: strided A Grams, EXACT G
+                # Grams (factor_g_spatial_stride=1). For 3x3 convs the A
+                # Gram is ~81x the G Gram's flops, so this keeps ~99% of
+                # the flop cut with half the estimator perturbation.
+                extra.update(pcg_precond_dtype="bfloat16",
+                             pcg_fused="force", pcg_refresh="ns",
+                             factor_dtype="auto",
+                             factor_spatial_stride=(
+                                 2 if variant == "pcg_ssa2_dp" else 3),
+                             factor_g_spatial_stride=1)
             if variant == "pcg_emafused_dp":
                 # production candidate + single-pass fused-concat factor
                 # EMA (factor_ema_mode='fused_concat') — a true
