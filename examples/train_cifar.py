@@ -103,6 +103,11 @@ def parse_args(argv=None):
     p.add_argument("--factor-spatial-stride", type=int, default=1,
                    help="conv factor statistics from every ss-th spatial "
                         "position (see KFACConfig.factor_spatial_stride)")
+    p.add_argument("--factor-g-spatial-stride", type=int, default=-1,
+                   help="G-factor stride override; -1 = follow "
+                        "--factor-spatial-stride. 1 with a strided A = "
+                        "A-only subsampling with exact G statistics "
+                        "(KFACConfig.factor_g_spatial_stride)")
     p.add_argument("--trainer", choices=["loop", "bucketed"],
                    default="loop",
                    help="'bucketed' = the bucket-resident flagship "
@@ -213,6 +218,9 @@ def main(argv=None):
                     pcg_iters=args.pcg_iters,
                     pcg_warm_start=args.pcg_warm_start,
                     factor_spatial_stride=args.factor_spatial_stride,
+                    factor_g_spatial_stride=(
+                        None if args.factor_g_spatial_stride < 0
+                        else args.factor_g_spatial_stride),
                     **KFACConfig.exclude_parts_flags(args.exclude_parts),
                 ),
                 world_size=n_dev if mesh is not None else 1,
@@ -226,6 +234,9 @@ def main(argv=None):
                 symeig_impl=args.symeig_impl,
                 factor_impl=args.factor_impl,
                 factor_spatial_stride=args.factor_spatial_stride,
+                    factor_g_spatial_stride=(
+                        None if args.factor_g_spatial_stride < 0
+                        else args.factor_g_spatial_stride),
                 pcg_iters=args.pcg_iters,
                 **KFACConfig.exclude_parts_flags(args.exclude_parts),
             )

@@ -89,6 +89,11 @@ def parse_args(argv=None):
                    help="conv factor statistics from every ss-th spatial "
                         "position (1/ss^2 the factor-GEMM flops; the KFC "
                         "estimator over a position subset)")
+    p.add_argument("--factor-g-spatial-stride", type=int, default=-1,
+                   help="G-factor stride override; -1 = follow "
+                        "--factor-spatial-stride. 1 with a strided A = "
+                        "A-only subsampling with exact G statistics "
+                        "(KFACConfig.factor_g_spatial_stride)")
     p.add_argument("--production", action="store_true",
                    help="use the bench-validated production K-FAC combo "
                         "(preconditioner.production_pcg_config: warm-2 "
@@ -198,6 +203,9 @@ def main(argv=None):
             damping=args.damping, kl_clip=args.kl_clip,
             factor_decay=args.stat_decay,
             factor_spatial_stride=args.factor_spatial_stride,
+                    factor_g_spatial_stride=(
+                        None if args.factor_g_spatial_stride < 0
+                        else args.factor_g_spatial_stride),
             **KFACConfig.exclude_parts_flags(args.exclude_parts),
         )
         blk_kw = {}
