@@ -368,8 +368,15 @@ def main():
             # preconditioner refresh (pcg_precond_freq; fires at steps 0 and
             # N — a window of 1..8 would exclude it entirely and understate
             # the steady-state step cost)
+            _prod = production_pcg_config()
             _ss_used = _env_i("KFB_SPATIAL_STRIDE",
-                              production_pcg_config().factor_spatial_stride)
+                              _prod.factor_spatial_stride)
+            _gss_used = _env_i(
+                "KFB_G_SPATIAL_STRIDE",
+                -1 if _prod.factor_g_spatial_stride is None
+                else _prod.factor_g_spatial_stride)
+            if _gss_used < 0:
+                _gss_used = _ss_used
             tinv = _env_i("KFB_TINV", 1)
             tcov = _env_i("KFB_TCOV", 1)
             prec = (
@@ -405,10 +412,13 @@ def main():
                         "unit": "x (kfac_step_time / sgd_step_time; "
                         f"sgd={t_sgd:.4f}s kfac={t_kfac:.4f}s; "
                         "scan-chained timing"
-                        + (f"; factor_spatial_stride={_ss_used} "
-                           "(position-subsampled conv factor stats, "
+                        + (f"; factor_spatial_stride={_ss_used}"
+                           + (f"/G={_gss_used}" if _gss_used != _ss_used
+                              else "")
+                           + " (position-subsampled conv factor stats, "
                            + ("convergence-validated — BENCH_NOTES r4)"
-                              if _ss_used == 2 else
+                              if (_ss_used, _gss_used) in
+                              ((2, 2), (2, 1), (3, 1)) else
                               "NOT separately convergence-validated)")
                            if _ss_used > 1 else "")
                         + ")",

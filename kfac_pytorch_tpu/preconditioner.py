@@ -518,18 +518,23 @@ def production_pcg_config(**overrides) -> "KFACConfig":
         pcg_warm_start=True,
         static_schedule=True,
         factor_impl="auto",
-        # conv factor statistics from 1/4 of spatial positions (the KFC
-        # estimator over a position subsample — factor_spatial_stride):
-        # a measured ESTIMATOR TRADE, validated by two-seed 2k one-variable
-        # A/Bs vs the full-position control (val_acc deltas -0.008/-0.037,
-        # both arms >> sgd by 6-10 points — BENCH_NOTES round 4), worth
-        # ~13% of the TCov=1 step (1.98x -> 1.72-1.74x with the
-        # subsample-aware dispatch). The same kind of default estimator
-        # trade the reference's DP-KFAC makes with local-batch factors
-        # (TCC'22). Set 1 to restore full-position statistics — preferable
-        # when the factor stage is already amortized (TCov >= 10) or when
-        # per-step update quality dominates.
-        factor_spatial_stride=2,
+        # A-only spatial-position subsampling: A-factor Grams from 1/9 of
+        # positions (stride 3), G Grams EXACT (the KFC estimator over a
+        # position subsample — factor_spatial_stride /
+        # factor_g_spatial_stride). For 3x3 convs the A Gram carries ~81x
+        # the G Gram's flops, so A-only striding keeps ~99% of the flop
+        # cut; two-seed 2k one-variable A/Bs vs the full-position control
+        # measured val_acc +0.001/+0.009 (ss=3/G=1) and +0.026/+0.030
+        # (ss=2/G=1), versus -0.008/-0.037 for striding BOTH factors at
+        # ss=2 — the quality cost of subsampling was G-driven, and exact-G
+        # arms sit at-or-above control (BENCH_NOTES round 4 queue H).
+        # Worth ~18% of the TCov=1 step (1.98x full-position -> 1.67x).
+        # Set factor_spatial_stride=1 to restore full-position statistics
+        # — preferable when the factor stage is already amortized
+        # (TCov >= 10); factor_spatial_stride=2 with G=1 is the
+        # quality-preferred subsampled option (1.78x, +0.028 mean).
+        factor_spatial_stride=3,
+        factor_g_spatial_stride=1,
     )
     base.update(overrides)
     return KFACConfig(**base)

@@ -368,17 +368,18 @@ def test_direct_ema_sharded_dp_owner_only(mode):
     # exactness guard for the sharded machinery: full-position factor
     # statistics (ss=1) keep the 1-dev/8-dev trajectories tight
     dict(factor_spatial_stride=1),
-    # the PURE production default (incl. factor_spatial_stride=2): the
-    # subsampled Grams average 4x fewer rows, so reduction-order noise in
-    # the near-degenerate spectrum is larger — measured 8.8e-4 abs /
-    # 3.2e-2 rel param drift over 12 steps (linear, not exponential)
+    # the PURE production default (A-only subsampling, ss=3/G=1): the
+    # subsampled A Grams average 9x fewer rows, so reduction-order noise
+    # in the near-degenerate spectrum is larger — the ss=2 A/G config
+    # measured 8.8e-4 abs / 3.2e-2 rel param drift over 12 steps (linear,
+    # not exponential)
     {},
     # the round-4 factor-state traffic candidates: direct fused-concat EMA
     # + bf16 factor-state storage (validated here under SPMD)
     dict(factor_ema_mode="fused_concat", factor_state_dtype="bfloat16"),
-    # A-only position subsampling (strided A Grams, exact G Grams):
-    # validates the split-stride dispatch under SPMD
-    dict(factor_g_spatial_stride=1),
+    # the quality-preferred subsampled option (ss=2, exact G): validates
+    # the split-stride dispatch at the non-default stride under SPMD
+    dict(factor_spatial_stride=2, factor_g_spatial_stride=1),
 ])
 def test_production_config_sharded_matches_single_program(extras):
     """The EXACT shipped production config (preconditioner.
