@@ -80,6 +80,14 @@ def _build(model_name, batch, image, num_classes):
               file=sys.stderr)
     prod = production_pcg_config()
     blk_kw = production_block_kwargs(calib)
+    # G-stride env default mirrors the production value (main()'s
+    # disclosure does the same) — an unset env var must NOT silently fall
+    # back to "follow A" when production pins exact-G (the (ss=3, G=3)
+    # combo failed convergence validation; BENCH_NOTES round 4 queue G)
+    _gss_env = _env_i(
+        "KFB_G_SPATIAL_STRIDE",
+        -1 if prod.factor_g_spatial_stride is None
+        else prod.factor_g_spatial_stride)
 
     model = get_model(model_name, num_classes=num_classes)
     rng = np.random.RandomState(0)
@@ -195,9 +203,7 @@ def _build(model_name, batch, image, num_classes):
             # G-factor stride override (-1 = follow KFB_SPATIAL_STRIDE);
             # A-only striding keeps ~99% of the 3x3 flop cut with exact
             # G statistics (KFACConfig.factor_g_spatial_stride)
-            factor_g_spatial_stride=(
-                None if _env_i("KFB_G_SPATIAL_STRIDE", -1) < 0
-                else _env_i("KFB_G_SPATIAL_STRIDE", -1)),
+            factor_g_spatial_stride=(None if _gss_env < 0 else _gss_env),
             factor_ema_blockwise=bool(_env_i("KFB_EMA_BLOCKWISE", 0)),
             # 'concat' | 'fused_concat' | 'blockwise' (see KFACConfig);
             # empty = resolve from KFB_EMA_BLOCKWISE

@@ -220,7 +220,8 @@ def main(argv=None):
                     factor_spatial_stride=args.factor_spatial_stride,
                     factor_g_spatial_stride=(
                         None if args.factor_g_spatial_stride < 0
-                        else args.factor_g_spatial_stride),
+                        else args.factor_g_spatial_stride
+                    ),
                     **KFACConfig.exclude_parts_flags(args.exclude_parts),
                 ),
                 world_size=n_dev if mesh is not None else 1,
@@ -234,9 +235,10 @@ def main(argv=None):
                 symeig_impl=args.symeig_impl,
                 factor_impl=args.factor_impl,
                 factor_spatial_stride=args.factor_spatial_stride,
-                    factor_g_spatial_stride=(
-                        None if args.factor_g_spatial_stride < 0
-                        else args.factor_g_spatial_stride),
+                factor_g_spatial_stride=(
+                    None if args.factor_g_spatial_stride < 0
+                    else args.factor_g_spatial_stride
+                ),
                 pcg_iters=args.pcg_iters,
                 **KFACConfig.exclude_parts_flags(args.exclude_parts),
             )

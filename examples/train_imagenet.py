@@ -85,15 +85,17 @@ def parse_args(argv=None):
     p.add_argument("--kfac-update-freq-schedule", type=float, nargs="*",
                    default=[25, 35])
     p.add_argument("--exclude-parts", default="")
-    p.add_argument("--factor-spatial-stride", type=int, default=1,
+    p.add_argument("--factor-spatial-stride", type=int, default=None,
                    help="conv factor statistics from every ss-th spatial "
                         "position (1/ss^2 the factor-GEMM flops; the KFC "
-                        "estimator over a position subset)")
-    p.add_argument("--factor-g-spatial-stride", type=int, default=-1,
+                        "estimator over a position subset). Unset = 1, or "
+                        "the validated (3, G=1) combo under --production")
+    p.add_argument("--factor-g-spatial-stride", type=int, default=None,
                    help="G-factor stride override; -1 = follow "
                         "--factor-spatial-stride. 1 with a strided A = "
                         "A-only subsampling with exact G statistics "
-                        "(KFACConfig.factor_g_spatial_stride)")
+                        "(KFACConfig.factor_g_spatial_stride). Unset = "
+                        "follow A, or exact G (=1) under --production")
     p.add_argument("--production", action="store_true",
                    help="use the bench-validated production K-FAC combo "
                         "(preconditioner.production_pcg_config: warm-2 "
@@ -202,12 +204,21 @@ def main(argv=None):
         common = dict(
             damping=args.damping, kl_clip=args.kl_clip,
             factor_decay=args.stat_decay,
-            factor_spatial_stride=args.factor_spatial_stride,
-                    factor_g_spatial_stride=(
-                        None if args.factor_g_spatial_stride < 0
-                        else args.factor_g_spatial_stride),
             **KFACConfig.exclude_parts_flags(args.exclude_parts),
         )
+        # stride flags use a None sentinel: unset flags are OMITTED so
+        # production_pcg_config keeps its convergence-validated
+        # (factor_spatial_stride=3, factor_g_spatial_stride=1) combo —
+        # passing the CLI defaults through unconditionally would silently
+        # revert --production to full-position stats (and a user setting
+        # only the A stride would get the convergence-failed G-follows-A
+        # combo). Non-production unset = KFACConfig defaults (1, follow-A).
+        if args.factor_spatial_stride is not None:
+            common["factor_spatial_stride"] = args.factor_spatial_stride
+        if args.factor_g_spatial_stride is not None:
+            common["factor_g_spatial_stride"] = (
+                None if args.factor_g_spatial_stride < 0
+                else args.factor_g_spatial_stride)
         blk_kw = {}
         if args.production:
             # the bench.py headline combo, calibrated to this chip when

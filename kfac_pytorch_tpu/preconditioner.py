@@ -931,6 +931,14 @@ class KFACParamScheduler:
         freq_factor = self._factor(
             self.update_freq_schedule, self.update_freq_alpha, self.epoch
         )
-        self.hypers.fac_update_freq = int(self.fac_update_freq_base * freq_factor)
-        self.hypers.kfac_update_freq = int(self.kfac_update_freq_base * freq_factor)
+        # clamp to >= 1 unless the user explicitly configured 0 (= K-FAC
+        # disabled): update_freq_alpha < 1 with a small base would truncate
+        # int(base * factor) to 0 and silently turn the preconditioner off
+        # mid-run (the reference has the same latent truncation,
+        # kfac_preconditioner_base.py:295-300, but treats 0 differently)
+        def _scaled(base):
+            return 0 if base == 0 else max(1, int(base * freq_factor))
+
+        self.hypers.fac_update_freq = _scaled(self.fac_update_freq_base)
+        self.hypers.kfac_update_freq = _scaled(self.kfac_update_freq_base)
         return self.hypers

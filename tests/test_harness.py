@@ -47,6 +47,44 @@ def test_cifar_bucketed_requires_kfac():
             ["--trainer", "bucketed", "--kfac-update-freq", "0"]))
 
 
+def test_imagenet_production_keeps_validated_strides(monkeypatch):
+    """--production must keep the convergence-validated stride combo
+    (factor_spatial_stride=3, factor_g_spatial_stride=1) when the stride
+    flags are unset — the CLI defaults must not leak into the production
+    config (round-4 ADVICE: they silently reverted it to full-position
+    stats). An explicit A-stride override must not drag G back to
+    follow-A (the convergence-failed (3,3) combo)."""
+    import examples.train_imagenet as ti
+
+    captured = {}
+    real = ti.BlockKFAC
+
+    class Spy(real):
+        def __init__(self, specs, cfg, **kw):
+            captured["cfg"] = cfg
+            super().__init__(specs, cfg, **kw)
+
+    monkeypatch.setattr(ti, "BlockKFAC", Spy)
+    base = [
+        "--model", "imagenet-resnet18", "--image-size", "32",
+        "--num-classes", "10", "--batch-size", "4", "--epochs", "1",
+        "--iters", "1", "--production", "--trainer", "bucketed",
+        "--seed", "0",
+    ]
+    ti.main(base)
+    assert captured["cfg"].factor_spatial_stride == 3
+    assert captured["cfg"].factor_g_spatial_stride == 1
+    # explicit A-only override: G stays pinned at the production value
+    ti.main(base + ["--factor-spatial-stride", "2"])
+    assert captured["cfg"].factor_spatial_stride == 2
+    assert captured["cfg"].factor_g_spatial_stride == 1
+    # explicit full-position opt-out works
+    ti.main(base + ["--factor-spatial-stride", "1",
+                    "--factor-g-spatial-stride", "-1"])
+    assert captured["cfg"].factor_spatial_stride == 1
+    assert captured["cfg"].factor_g_spatial_stride is None
+
+
 def test_imagenet_pcg_dp_maps_to_pcg():
     # the mapping bug: pcg_dp must build a pcg/dp BlockKFAC, not
     # inverse/mpd

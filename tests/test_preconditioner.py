@@ -248,6 +248,24 @@ def test_param_scheduler_parity():
     assert np.isclose(hp2.damping, 0.0075)
 
 
+def test_param_scheduler_freq_clamps_to_one():
+    """update_freq_alpha < 1 must never truncate a live freq to 0 (= K-FAC
+    silently disabled); an explicit base of 0 stays 0 (user-disabled)."""
+    hp = KFACHypers(damping=0.03, fac_update_freq=1, kfac_update_freq=2)
+    sched = KFACParamScheduler(
+        hp, update_freq_alpha=0.1, update_freq_schedule=[1]
+    )
+    sched.step(1)
+    assert hp.fac_update_freq == 1  # int(1 * 0.1) == 0 would disable
+    assert hp.kfac_update_freq == 1
+    hp0 = KFACHypers(damping=0.03, fac_update_freq=0, kfac_update_freq=0)
+    sched0 = KFACParamScheduler(
+        hp0, update_freq_alpha=0.1, update_freq_schedule=[1]
+    )
+    sched0.step(1)
+    assert hp0.fac_update_freq == 0 and hp0.kfac_update_freq == 0
+
+
 def test_train_loop_end_to_end_kfac_beats_sgd():
     """Full jitted train loop: K-FAC converges at least as fast as SGD on a
     small classification problem (the reference's convergence-arm pattern)."""
