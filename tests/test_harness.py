@@ -94,3 +94,47 @@ def test_imagenet_pcg_dp_maps_to_pcg():
         "--iters", "1", "--kfac-name", "pcg_dp", "--seed", "0",
     ])
     assert _all_finite(state.params)
+
+
+def test_multi30k_harness_with_bleu_runs():
+    """Transformer harness end-to-end incl. the beam-search BLEU eval —
+    the vocab-excluded output projection + seq-mean Linear factor path
+    (reference pytorch_multi30k_transformer.py:470-491)."""
+    from examples.train_multi30k import main as multi30k_main
+
+    state = multi30k_main([
+        "--synthetic", "--iters", "2", "--epochs", "1",
+        "--batch-size", "8", "--seq-len", "12",
+        "--d-model", "32", "--d-ff", "64", "--n-layers", "1",
+        "--n-head", "2", "--src-vocab", "64", "--trg-vocab", "64",
+        "--eval-bleu", "--beam-size", "2", "--seed", "0",
+    ])
+    assert _all_finite(state.params)
+
+
+def test_squad_harness_runs():
+    """BERT-QA harness: HF FlaxBert through the interceptor + span F1/EM
+    eval (reference pytorch_squad_bert.py)."""
+    from examples.train_squad import main as squad_main
+
+    params = squad_main([
+        "--synthetic", "--iters", "2", "--epochs", "1",
+        "--batch-size", "2", "--seq-len", "32", "--model-size", "tiny",
+        "--seed", "0",
+    ])
+    assert _all_finite(params)
+
+
+def test_wikitext_harness_runs():
+    """RNN-LM harness: working K-FAC over the unrolled input/output
+    projections (the reference's wikitext harness is broken with K-FAC,
+    pytorch_wikitext_rnn.py:6)."""
+    from examples.train_wikitext import main as wikitext_main
+
+    state = wikitext_main([
+        "--synthetic", "--iters", "2", "--epochs", "1",
+        "--batch-size", "4", "--bptt", "8", "--vocab", "64",
+        "--emb-dim", "16", "--hidden-dim", "16", "--n-layers", "1",
+        "--seed", "0",
+    ])
+    assert _all_finite(state)
