@@ -108,6 +108,11 @@ def parse_args(argv=None):
                         "--factor-spatial-stride. 1 with a strided A = "
                         "A-only subsampling with exact G statistics "
                         "(KFACConfig.factor_g_spatial_stride)")
+    p.add_argument("--inv-stagger", action="store_true",
+                   help="stagger TInv-amortized inverse/eigen refreshes "
+                        "round-robin across buckets/layers (KFACConfig."
+                        "inv_stagger) — avoids the all-eigendecompositions-"
+                        "in-one-step spike at large dims")
     p.add_argument("--trainer", choices=["loop", "bucketed"],
                    default="loop",
                    help="'bucketed' = the bucket-resident flagship "
@@ -222,6 +227,7 @@ def main(argv=None):
                         None if args.factor_g_spatial_stride < 0
                         else args.factor_g_spatial_stride
                     ),
+                    inv_stagger=args.inv_stagger,
                     **KFACConfig.exclude_parts_flags(args.exclude_parts),
                 ),
                 world_size=n_dev if mesh is not None else 1,
@@ -239,6 +245,7 @@ def main(argv=None):
                     None if args.factor_g_spatial_stride < 0
                     else args.factor_g_spatial_stride
                 ),
+                inv_stagger=args.inv_stagger,
                 pcg_iters=args.pcg_iters,
                 **KFACConfig.exclude_parts_flags(args.exclude_parts),
             )

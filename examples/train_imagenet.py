@@ -96,6 +96,11 @@ def parse_args(argv=None):
                         "A-only subsampling with exact G statistics "
                         "(KFACConfig.factor_g_spatial_stride). Unset = "
                         "follow A, or exact G (=1) under --production")
+    p.add_argument("--inv-stagger", action="store_true",
+                   help="stagger TInv-amortized inverse/eigen refreshes "
+                        "round-robin across buckets/layers (KFACConfig."
+                        "inv_stagger) — avoids the all-eigendecompositions-"
+                        "in-one-step spike at large dims")
     p.add_argument("--production", action="store_true",
                    help="use the bench-validated production K-FAC combo "
                         "(preconditioner.production_pcg_config: warm-2 "
@@ -204,6 +209,7 @@ def main(argv=None):
         common = dict(
             damping=args.damping, kl_clip=args.kl_clip,
             factor_decay=args.stat_decay,
+            inv_stagger=args.inv_stagger,
             **KFACConfig.exclude_parts_flags(args.exclude_parts),
         )
         # stride flags use a None sentinel: unset flags are OMITTED so

@@ -974,66 +974,94 @@ class BlockKFAC:
         if not cfg.exclude_compute_inverse:
             if cfg.inv_type == EIGEN:
 
-                def inv_all():
-                    outs = []
-                    for b_idx, e in enumerate(entries):
-                        if cfg.symeig_impl == "tracking":
-                            from kfac_pytorch_tpu.ops.blocked_symeig import (
-                                tracking_symeig_update,
-                            )
+                def eigen_refresh_one(b_idx, e):
+                    """One bucket's eigen refresh (exact or tracking)."""
+                    if cfg.symeig_impl == "tracking":
+                        from kfac_pytorch_tpu.ops.blocked_symeig import (
+                            tracking_symeig_update,
+                        )
 
-                            st = state["buckets"][b_idx]
-                            # warmup (step < tracking_warmup): exact
-                            # decompositions — the EMA transient from
-                            # identity to the data covariance is a large
-                            # spectral excursion; afterwards the basis
-                            # drifts ~ (1-factor_decay) per step and
-                            # tracking follows with matmuls only. The
-                            # untaken branch costs nothing at runtime
-                            # (XLA conditionals execute one branch).
-                            def track(e=e, st=st):
-                                da_, qa = tracking_symeig_update(
-                                    e["A"].astype(jnp.float32), st["QA"],
-                                    iters=cfg.tracking_iters, eps=cfg.eps,
-                                    precision=cfg._tracking_precision,
-                                )
-                                dg_, qg = tracking_symeig_update(
-                                    e["G"].astype(jnp.float32), st["QG"],
-                                    iters=cfg.tracking_iters, eps=cfg.eps,
-                                    precision=cfg._tracking_precision,
-                                )
-                                return da_, qa, dg_, qg
-
-                            def exact(e=e):
-                                da_, qa = cfg.symeig(e["A"].astype(jnp.float32))
-                                dg_, qg = cfg.symeig(e["G"].astype(jnp.float32))
-                                return da_, qa, dg_, qg
-
-                            use_exact = (step < cfg.tracking_warmup) | (
-                                (cfg.tracking_exact_freq > 0)
-                                & (step % jnp.maximum(
-                                    cfg.tracking_exact_freq, 1
-                                ) == 0)
+                        st = state["buckets"][b_idx]
+                        # warmup (step < tracking_warmup): exact
+                        # decompositions — the EMA transient from
+                        # identity to the data covariance is a large
+                        # spectral excursion; afterwards the basis
+                        # drifts ~ (1-factor_decay) per step and
+                        # tracking follows with matmuls only. The
+                        # untaken branch costs nothing at runtime
+                        # (XLA conditionals execute one branch).
+                        def track(e=e, st=st):
+                            da_, qa = tracking_symeig_update(
+                                e["A"].astype(jnp.float32), st["QA"],
+                                iters=cfg.tracking_iters, eps=cfg.eps,
+                                precision=cfg._tracking_precision,
                             )
-                            outs.append(
-                                jax.lax.cond(use_exact, exact, track)
+                            dg_, qg = tracking_symeig_update(
+                                e["G"].astype(jnp.float32), st["QG"],
+                                iters=cfg.tracking_iters, eps=cfg.eps,
+                                precision=cfg._tracking_precision,
                             )
-                        else:
+                            return da_, qa, dg_, qg
+
+                        def exact(e=e):
                             da_, qa = cfg.symeig(e["A"].astype(jnp.float32))
                             dg_, qg = cfg.symeig(e["G"].astype(jnp.float32))
-                            outs.append((da_, qa, dg_, qg))
-                    return outs
+                            return da_, qa, dg_, qg
 
-                def keep_inv():
-                    return [
-                        (st["dA"], st["QA"], st["dG"], st["QG"])
-                        for st in state["buckets"]
-                    ]
+                        use_exact = (step < cfg.tracking_warmup) | (
+                            (cfg.tracking_exact_freq > 0)
+                            & (step % jnp.maximum(
+                                cfg.tracking_exact_freq, 1
+                            ) == 0)
+                        )
+                        return jax.lax.cond(use_exact, exact, track)
+                    da_, qa = cfg.symeig(e["A"].astype(jnp.float32))
+                    dg_, qg = cfg.symeig(e["G"].astype(jnp.float32))
+                    return da_, qa, dg_, qg
 
-                for e, (da_, qa, dg_, qg) in zip(
-                    entries, _cond_or_call(do_inv, inv_all, keep_inv)
-                ):
-                    e["dA"], e["QA"], e["dG"], e["QG"] = da_, qa, dg_, qg
+                if cfg.inv_stagger and do_inv is not None:
+                    # staggered refresh (KFACConfig.inv_stagger): bucket i
+                    # refreshes at its phase offset within the TInv period
+                    # — per-step eigendecomposition cost is ~n_b/TInv
+                    # buckets instead of all n_b in one spike (the
+                    # reference spreads the same work ACROSS RANKS,
+                    # eigen.py:98-119)
+                    inv_freq_t = jnp.maximum(
+                        cfg.kfac_update_freq
+                        if kfac_update_freq is None else kfac_update_freq,
+                        1,
+                    )
+                    spacing = jnp.maximum(inv_freq_t // n_b, 1)
+                    for b_idx, e in enumerate(entries):
+                        st = state["buckets"][b_idx]
+                        gate_b = (
+                            ((step - b_idx * spacing) % inv_freq_t) == 0
+                        ) | (step == 0)
+                        e["dA"], e["QA"], e["dG"], e["QG"] = jax.lax.cond(
+                            gate_b,
+                            lambda b_idx=b_idx, e=e: eigen_refresh_one(
+                                b_idx, e),
+                            lambda st=st: (
+                                st["dA"], st["QA"], st["dG"], st["QG"]),
+                        )
+                else:
+
+                    def inv_all():
+                        return [
+                            eigen_refresh_one(b_idx, e)
+                            for b_idx, e in enumerate(entries)
+                        ]
+
+                    def keep_inv():
+                        return [
+                            (st["dA"], st["QA"], st["dG"], st["QG"])
+                            for st in state["buckets"]
+                        ]
+
+                    for e, (da_, qa, dg_, qg) in zip(
+                        entries, _cond_or_call(do_inv, inv_all, keep_inv)
+                    ):
+                        e["dA"], e["QA"], e["dG"], e["QG"] = da_, qa, dg_, qg
             elif cfg.inv_type == PCG:
                 warm_fused = cfg.pcg_warm_start and cfg._pcg_fused_active
 
@@ -1089,44 +1117,68 @@ class BlockKFAC:
                         e["gxaPrev"] = vals[4]
             else:
 
-                def inv_all():
+                def inverse_refresh_one(b_idx, e):
                     from kfac_pytorch_tpu.ops.pcg import _masked_diag_mean
 
-                    outs = []
+                    b = self.buckets[b_idx]
+                    # pi from the *real* traces via masked diagonal
+                    # sums (exact under identity padding; see
+                    # pcg.damped_cholesky_factors for why the
+                    # subtract-pad-count form NaNs on merged buckets)
+                    tr_a = jnp.maximum(
+                        _masked_diag_mean(e["A"], real_da[b_idx]), 1e-10
+                    )
+                    tr_g = jnp.maximum(
+                        _masked_diag_mean(e["G"], real_dg[b_idx]), 1e-10
+                    )
+                    pi = jnp.sqrt(tr_a / tr_g)
+                    sd = jnp.sqrt(damping)
+                    inv_a = lops.cholesky_inverse(
+                        e["A"]
+                        + (sd * pi)[:, None, None] * jnp.eye(b.da)
+                    )
+                    inv_g = lops.cholesky_inverse(
+                        e["G"]
+                        + (sd / pi)[:, None, None] * jnp.eye(b.dg)
+                    )
+                    return inv_a, inv_g
+
+                if cfg.inv_stagger and do_inv is not None:
+                    inv_freq_t = jnp.maximum(
+                        cfg.kfac_update_freq
+                        if kfac_update_freq is None else kfac_update_freq,
+                        1,
+                    )
+                    spacing = jnp.maximum(inv_freq_t // n_b, 1)
                     for b_idx, e in enumerate(entries):
-                        b = self.buckets[b_idx]
-                        # pi from the *real* traces via masked diagonal
-                        # sums (exact under identity padding; see
-                        # pcg.damped_cholesky_factors for why the
-                        # subtract-pad-count form NaNs on merged buckets)
-                        tr_a = jnp.maximum(
-                            _masked_diag_mean(e["A"], real_da[b_idx]), 1e-10
+                        st = state["buckets"][b_idx]
+                        gate_b = (
+                            ((step - b_idx * spacing) % inv_freq_t) == 0
+                        ) | (step == 0)
+                        e["invA"], e["invG"] = jax.lax.cond(
+                            gate_b,
+                            lambda b_idx=b_idx, e=e: inverse_refresh_one(
+                                b_idx, e),
+                            lambda st=st: (st["invA"], st["invG"]),
                         )
-                        tr_g = jnp.maximum(
-                            _masked_diag_mean(e["G"], real_dg[b_idx]), 1e-10
-                        )
-                        pi = jnp.sqrt(tr_a / tr_g)
-                        sd = jnp.sqrt(damping)
-                        inv_a = lops.cholesky_inverse(
-                            e["A"]
-                            + (sd * pi)[:, None, None] * jnp.eye(b.da)
-                        )
-                        inv_g = lops.cholesky_inverse(
-                            e["G"]
-                            + (sd / pi)[:, None, None] * jnp.eye(b.dg)
-                        )
-                        outs.append((inv_a, inv_g))
-                    return outs
+                else:
 
-                def keep_inv():
-                    return [
-                        (st["invA"], st["invG"]) for st in state["buckets"]
-                    ]
+                    def inv_all():
+                        return [
+                            inverse_refresh_one(b_idx, e)
+                            for b_idx, e in enumerate(entries)
+                        ]
 
-                for e, (ia, ig) in zip(
-                    entries, _cond_or_call(do_inv, inv_all, keep_inv)
-                ):
-                    e["invA"], e["invG"] = ia, ig
+                    def keep_inv():
+                        return [
+                            (st["invA"], st["invG"])
+                            for st in state["buckets"]
+                        ]
+
+                    for e, (ia, ig) in zip(
+                        entries, _cond_or_call(do_inv, inv_all, keep_inv)
+                    ):
+                        e["invA"], e["invG"] = ia, ig
 
         # ---- (3) preconditioned gradients (batched per bucket) + kl_clip
         preds: Optional[List[jax.Array]] = None

@@ -194,6 +194,18 @@ class KFACConfig:
     # Dynamic (traced) freq overrides passed to step() fall back to runtime
     # gating even when this is set.
     static_schedule: bool = False
+    # Stagger TInv-amortized inverse/eigen refreshes round-robin across
+    # layers (per-layer KFAC) or buckets (BlockKFAC): layer/bucket i
+    # refreshes when (step - i*spacing) % TInv == 0 (spacing =
+    # max(TInv // n, 1)), all refresh at step 0. Same per-entry staleness
+    # bound as the unstaggered schedule (TInv), but the per-step
+    # eigendecomposition cost is ~1/n of a full refresh instead of a
+    # one-step spike (eigen_dp at ImageNet dims pays ~955 ms for the
+    # dim-4608 eigh; staggering spreads it). The reference gets the same
+    # effect ACROSS RANKS by round-robining layers to workers
+    # (kfac_preconditioner_eigen.py:98-119); across steps is the
+    # single-program SPMD analogue. No effect when TInv <= 1.
+    inv_stagger: bool = False
     # exclude_parts ablation switches (base.py:96-99)
     exclude_compute_factor: bool = False
     exclude_communicate_factor: bool = False
@@ -678,7 +690,8 @@ class KFAC:
 
         step = state["step"]
         do_fac = (step % jnp.maximum(fac_freq, 1)) == 0
-        do_inv = (step % jnp.maximum(inv_freq, 1)) == 0
+        inv_freq_t = jnp.maximum(inv_freq, 1)
+        do_inv = (step % inv_freq_t) == 0
 
         if isinstance(acts, dict) and capture.COL_A in acts:
             acts = acts[capture.COL_A]
@@ -687,7 +700,15 @@ class KFAC:
         pred2d: Dict[str, jax.Array] = {}
         vg_sum = jnp.zeros((), jnp.float32)
 
-        for spec in self.specs:
+        def stagger_gate(i):
+            """Layer i's round-robin refresh gate (KFACConfig.inv_stagger):
+            phase-offset within the TInv period, all layers at step 0."""
+            spacing = jnp.maximum(inv_freq_t // len(self.specs), 1)
+            return (
+                ((step - i * spacing) % inv_freq_t) == 0
+            ) | (step == 0)
+
+        for spec_idx, spec in enumerate(self.specs):
             st = state["layers"][spec.name]
             entry = dict(st)
 
@@ -786,7 +807,7 @@ class KFAC:
                         return dA, QA, dG, QG
 
                     entry["dA"], entry["QA"], entry["dG"], entry["QG"] = jax.lax.cond(
-                        do_inv,
+                        stagger_gate(spec_idx) if cfg.inv_stagger else do_inv,
                         inv_update,
                         lambda: (st["dA"], st["QA"], st["dG"], st["QG"]),
                     )
@@ -822,7 +843,8 @@ class KFAC:
                         return inv_a, inv_g
 
                     entry["invA"], entry["invG"] = jax.lax.cond(
-                        do_inv, inv_update, lambda: (st["invA"], st["invG"])
+                        stagger_gate(spec_idx) if cfg.inv_stagger else do_inv,
+                        inv_update, lambda: (st["invA"], st["invG"])
                     )
 
                 # (3) preconditioned gradient

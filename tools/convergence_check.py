@@ -96,7 +96,7 @@ def run_arm(variant, x, y, xv, yv, steps, batch, lr, damping, seed,
             eval_every=0, tinv=1, tcov=1, pcg_iters=None, prec_freq=None,
             epoch_steps=0, damping_alpha=0.5, damping_decay=(),
             freq_alpha=1.0, freq_decay=(), lr_decay=(),
-            track_exact_freq=50):
+            track_exact_freq=50, inv_stagger=False):
     model = get_model("resnet20", num_classes=10)
     sample = jnp.asarray(x[:batch])
     variables = model.init(jax.random.PRNGKey(seed), sample, train=True)
@@ -207,6 +207,10 @@ def run_arm(variant, x, y, xv, yv, steps, batch, lr, damping, seed,
             kfac = ktpu.get_kfac_module(variant)(
                 specs, damping=damping,
                 fac_update_freq=tcov, kfac_update_freq=tinv,
+                # staggered TInv refreshes (KFACConfig.inv_stagger): the
+                # eigen_dp-at-scale mitigation — round-robin one layer's
+                # eigendecomposition per phase step instead of all in one
+                inv_stagger=inv_stagger,
             )
     if bucketed_arm:
         from kfac_pytorch_tpu.training.bucketed import (
@@ -363,6 +367,10 @@ def main(argv=None):
     p.add_argument("--track-exact-freq", type=int, default=50,
                    help="tracking_dp arm: exact-refresh period; <= 0 = "
                         "warmup-only (no steady-state eigendecomposition)")
+    p.add_argument("--inv-stagger", action="store_true",
+                   help="stagger TInv inverse/eigen refreshes round-robin "
+                        "across layers (KFACConfig.inv_stagger) in the "
+                        "non-bucketed K-FAC arms")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
     from kfac_pytorch_tpu.utils.platform import ensure_platform_from_env
@@ -388,6 +396,7 @@ def main(argv=None):
             damping_decay=args.damping_decay,
             freq_alpha=args.freq_alpha, freq_decay=args.freq_decay,
             lr_decay=args.lr_decay, track_exact_freq=args.track_exact_freq,
+            inv_stagger=args.inv_stagger,
         )
         print(v, json.dumps(results[v]))
     if "sgd" in results and "eigen_dp" in results:
