@@ -60,16 +60,24 @@ def test_make_dataset_npz_cifar_end_to_end(tmp_path):
     raw = tmp_path / "cifar-10-batches-py"
     raw.mkdir()
     rng = np.random.RandomState(0)
+    raw_rows = {}
+    # bit-replica of the torchvision python-version batch pickles: CHW
+    # uint8 rows under b'data', plus the b'batch_label'/b'filenames' keys
+    # real batches carry (the loader must ignore them)
     for name, n in [(f"data_batch_{i}", 20) for i in range(1, 6)] + [
         ("test_batch", 20)
     ]:
+        rows = rng.randint(0, 256, (n, 3072), dtype=np.uint8)
+        raw_rows[name] = rows
         with open(raw / name, "wb") as f:
             pickle.dump(
                 {
-                    b"data": rng.randint(
-                        0, 256, (n, 3072), dtype=np.uint8
-                    ),
+                    b"batch_label": f"batch of {name}".encode(),
+                    b"data": rows,
                     b"labels": rng.randint(0, 10, n).tolist(),
+                    b"filenames": [
+                        f"img_{i}.png".encode() for i in range(n)
+                    ],
                 },
                 f,
             )
@@ -80,6 +88,16 @@ def test_make_dataset_npz_cifar_end_to_end(tmp_path):
     assert d["x_train"].dtype == np.uint8
     assert d["x_test"].shape == (20, 32, 32, 3)
     assert d["y_train"].dtype == np.int32
+    # pixel-exact round trip: row 0 of data_batch_1 is 3072 CHW bytes ->
+    # NHWC image (reference reshape semantics,
+    # pytorch_cifar10_resnet.py:158-192 via torchvision)
+    expect = raw_rows["data_batch_1"][0].reshape(3, 32, 32).transpose(
+        1, 2, 0)
+    np.testing.assert_array_equal(d["x_train"][0], expect)
+    np.testing.assert_array_equal(
+        d["x_test"][-1],
+        raw_rows["test_batch"][-1].reshape(3, 32, 32).transpose(1, 2, 0),
+    )
 
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
