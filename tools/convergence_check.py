@@ -55,26 +55,35 @@ class Generator(nn.Module):
         return x
 
 
-def make_dataset(n, classes, seed, margin_frac=0.5):
+def make_dataset(n, classes, seed, margin_frac=0.5, latent_scale=1):
     """Latent-linear classification task rendered to images.
 
-    z ~ N(0, I)^128; y = argmax(W z); x = G(z) for a fixed random deconv
-    G. Keeps the ``margin_frac`` most confidently labelled samples
-    (largest top-1 margin of W z) — near-boundary labels are effectively
-    noise and drown the optimizer comparison.
+    z ~ N(0, I)^(128*latent_scale); y = argmax(W z); x = G(z) for a fixed
+    random deconv G. Keeps the ``margin_frac`` most confidently labelled
+    samples (largest top-1 margin of W z) — near-boundary labels are
+    effectively noise and drown the optimizer comparison.
+
+    ``latent_scale`` > 1 widens the latent manifold (channels of the 4x4
+    latent grid) so longer-horizon runs have val-accuracy headroom
+    instead of saturating the 128-dim task (round-4 VERDICT weak item 2:
+    2k-10k arms were deciding defaults near task saturation).
     """
     rng = np.random.RandomState(seed)
     n_gen = int(n / max(margin_frac, 1e-3)) if margin_frac < 1.0 else n
+    c_lat = 8 * latent_scale
+    d_lat = 16 * c_lat
     gen = Generator()
     gp = gen.init(
         jax.random.PRNGKey(seed),
-        jnp.asarray(rng.randn(2, 4, 4, 8).astype(np.float32)),
+        jnp.asarray(rng.randn(2, 4, 4, c_lat).astype(np.float32)),
     )
     apply = jax.jit(gen.apply)
-    w_lab = rng.randn(128, classes).astype(np.float32) / np.sqrt(128)
+    w_lab = rng.randn(d_lat, classes).astype(np.float32) / np.sqrt(d_lat)
     xs, ys, margins = [], [], []
     for start in range(0, n_gen, 8192):
-        z = rng.randn(min(8192, n_gen - start), 4, 4, 8).astype(np.float32)
+        z = rng.randn(
+            min(8192, n_gen - start), 4, 4, c_lat
+        ).astype(np.float32)
         logits = z.reshape(len(z), -1) @ w_lab
         top2 = np.sort(logits, axis=-1)[:, -2:]
         xb = np.asarray(apply(gp, jnp.asarray(z)))
@@ -96,8 +105,9 @@ def run_arm(variant, x, y, xv, yv, steps, batch, lr, damping, seed,
             eval_every=0, tinv=1, tcov=1, pcg_iters=None, prec_freq=None,
             epoch_steps=0, damping_alpha=0.5, damping_decay=(),
             freq_alpha=1.0, freq_decay=(), lr_decay=(),
-            track_exact_freq=50, inv_stagger=False):
-    model = get_model("resnet20", num_classes=10)
+            track_exact_freq=50, inv_stagger=False,
+            model_name="resnet20", classes=10):
+    model = get_model(model_name, num_classes=classes)
     sample = jnp.asarray(x[:batch])
     variables = model.init(jax.random.PRNGKey(seed), sample, train=True)
     params = variables["params"]
@@ -332,6 +342,11 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=300)
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--n-train", type=int, default=4096)
+    p.add_argument("--model", default="resnet20")
+    p.add_argument("--classes", type=int, default=10)
+    p.add_argument("--latent-scale", type=int, default=1,
+                   help="widen the latent manifold (x128 dims) for "
+                        "long-horizon headroom (see make_dataset)")
     p.add_argument("--lr", type=float, default=0.05)
     p.add_argument("--damping", type=float, default=0.03)
     p.add_argument("--variants", nargs="+",
@@ -378,12 +393,13 @@ def main(argv=None):
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    x, y = make_dataset(args.n_train + 2048, 10, args.seed,
-                        margin_frac=args.margin_frac)
+    x, y = make_dataset(args.n_train + 2048, args.classes, args.seed,
+                        margin_frac=args.margin_frac,
+                        latent_scale=args.latent_scale)
     xv, yv = x[-2048:], y[-2048:]
     x, y = x[: args.n_train], y[: args.n_train]
     print(f"# teacher-task label balance: "
-          f"{np.bincount(y, minlength=10).tolist()}")
+          f"{np.bincount(y, minlength=args.classes).tolist()}")
     results = {}
     for v in args.variants:
         results[v] = run_arm(
@@ -397,6 +413,7 @@ def main(argv=None):
             freq_alpha=args.freq_alpha, freq_decay=args.freq_decay,
             lr_decay=args.lr_decay, track_exact_freq=args.track_exact_freq,
             inv_stagger=args.inv_stagger,
+            model_name=args.model, classes=args.classes,
         )
         print(v, json.dumps(results[v]))
     if "sgd" in results and "eigen_dp" in results:
