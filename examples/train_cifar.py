@@ -100,6 +100,10 @@ def parse_args(argv=None):
                    help="bfloat16 gradient allreduce compression (the "
                         "reference's --fp16-allreduce, "
                         "pytorch_cifar10_resnet.py:252-254)")
+    p.add_argument("--bf16-delta-gather", action="store_true",
+                   help="bfloat16 compression of the post-momentum delta "
+                        "all-gather (the pred-broadcast equivalent; "
+                        "halves its exposed wire time)")
     p.add_argument("--factor-spatial-stride", type=int, default=1,
                    help="conv factor statistics from every ss-th spatial "
                         "position (see KFACConfig.factor_spatial_stride)")
@@ -280,6 +284,8 @@ def main(argv=None):
             momentum=args.momentum, weight_decay=args.wd,
             label_smoothing=args.label_smoothing,
             grad_compression="bf16" if args.bf16_allreduce else None,
+            delta_gather_compression=(
+                "bf16" if args.bf16_delta_gather else None),
         )
     elif mesh is not None:
         local_pert = (

@@ -61,6 +61,10 @@ def parse_args(argv=None):
     p.add_argument("--bf16-allreduce", action="store_true",
                    help="bfloat16 gradient allreduce compression (the "
                         "reference's --fp16-allreduce)")
+    p.add_argument("--bf16-delta-gather", action="store_true",
+                   help="bfloat16 compression of the post-momentum delta "
+                        "all-gather (the pred-broadcast equivalent; "
+                        "halves its exposed wire time)")
     p.add_argument("--epochs", type=int, default=55)
     p.add_argument("--base-lr", type=float, default=0.0125,
                    help="lr per device (scaled by device count)")
@@ -301,6 +305,8 @@ def main(argv=None):
             label_smoothing=args.label_smoothing,
             n_accum=n_accum,
             grad_compression="bf16" if args.bf16_allreduce else None,
+            delta_gather_compression=(
+                "bf16" if args.bf16_delta_gather else None),
         )
     elif mesh is not None:
         local_sample = sample[: args.batch_size]

@@ -19,7 +19,12 @@ packages/tcmm/src/communicator.cpp:75-117):
                                               grads are all-gathered instead
   pred broadcast (inv.py:164-175)             lax.all_gather of the owner
                                               blocks (rides ICI)
-  multi-stream overlap (communicator.cpp)     XLA async collectives
+  multi-stream overlap (communicator.cpp)     measured moot: the v5e
+    toolchain schedules ALL step collectives sync (tools/overlap_check.py
+    AOT evidence, BENCH_NOTES round 5) — exposure is wire-time-bounded
+    (~1-2 ms/step at n=8), mitigated by the single post-momentum
+    per-bucket delta gather + optional bf16 gather compression rather
+    than stream concurrency
 
 ``BlockKFAC`` implements the same math as ``preconditioner.KFAC`` but over
 padded stacked buckets: batched EMA, batched eigh/Cholesky (MXU-friendly,

@@ -162,6 +162,7 @@ def make_bucketed_train_step(
     axis: Optional[str] = None,
     n_accum: int = 1,
     grad_compression: Optional[str] = None,
+    delta_gather_compression: Optional[str] = None,
 ):
     """Build the bucket-resident train step.
 
@@ -187,10 +188,23 @@ def make_bucketed_train_step(
     hvd.Compression.fp16, pytorch_cifar10_resnet.py:254) and back; it only
     applies under ``axis`` (single-program runs have no gradient
     collective).
+
+    ``delta_gather_compression='bf16'`` casts the post-momentum delta
+    buckets to bfloat16 for the final all-gather (the reference's pred
+    broadcast, inv.py:164-175) and back — halves the gather's exposed
+    wire time (the v5e toolchain schedules it sync; tools/overlap_check
+    evidence, BENCH_NOTES round 5). The bf16 rounding perturbs only the
+    OTHER devices' view of a delta (~1e-3 relative, same class as the
+    grad-allreduce compression); the local block's contribution to the
+    carried momentum state stays exact.
     """
     train_kwargs = dict(train_kwargs or {})
     if grad_compression not in (None, "bf16"):
         raise ValueError(f"unknown grad_compression {grad_compression}")
+    if delta_gather_compression not in (None, "bf16"):
+        raise ValueError(
+            f"unknown delta_gather_compression {delta_gather_compression}"
+        )
     if loss_fn is None:
         loss_fn = lambda logits, labels: softmax_cross_entropy(
             logits, labels, label_smoothing
@@ -339,10 +353,18 @@ def make_bucketed_train_step(
         else:
             deltas = mom_buckets
         if axis is not None:
-            deltas = [
-                jax.lax.all_gather(d, axis, axis=0, tiled=True)
-                for d in deltas
-            ]
+            if delta_gather_compression == "bf16":
+                deltas = [
+                    jax.lax.all_gather(
+                        d.astype(jnp.bfloat16), axis, axis=0, tiled=True
+                    ).astype(d.dtype)
+                    for d in deltas
+                ]
+            else:
+                deltas = [
+                    jax.lax.all_gather(d, axis, axis=0, tiled=True)
+                    for d in deltas
+                ]
         params = kfac.apply_deltas(state.params, deltas, scalars.lr)
 
         # non-K-FAC leaves: plain momentum SGD (mask is static, so K-FAC
@@ -409,6 +431,7 @@ def build_bucketed_trainer(
     label_smoothing: float = 0.0,
     n_accum: int = 1,
     grad_compression=None,
+    delta_gather_compression=None,
     train_kwargs=None,
     state: "BucketedTrainState" = None,
 ):
@@ -448,7 +471,8 @@ def build_bucketed_trainer(
     if mesh is not None:
         step = make_sharded_bucketed_train_step(
             model, kfac, mesh, state, pert,
-            grad_compression=grad_compression, **common,
+            grad_compression=grad_compression,
+            delta_gather_compression=delta_gather_compression, **common,
         )
         state = shard_bucketed_state(mesh, kfac, state)
     else:

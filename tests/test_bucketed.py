@@ -379,6 +379,58 @@ def test_bucketed_sharded_accum_compression():
     )
 
 
+def test_bucketed_sharded_delta_gather_compression():
+    """bf16 delta-gather compression (the sync-gather exposure mitigation,
+    tools/overlap_check evidence): trains, and tracks the uncompressed
+    trajectory to bf16 tolerance — the gather is the reference's pred
+    broadcast (inv.py:164-175) moved post-momentum."""
+    from kfac_pytorch_tpu.training.bucketed import (
+        make_sharded_bucketed_train_step,
+        shard_bucketed_state,
+    )
+
+    model, params, model_state, specs, perturbs, x, y = _setup(
+        batch=32, seed=8
+    )
+    mesh = meshlib.make_mesh(8)
+    n_dev = 8
+    cfg = KFACConfig(inv_type="pcg", strategy="dp", damping=0.03,
+                     kl_clip=0.001, static_schedule=True,
+                     pcg_precond_dtype=None)
+    results = {}
+    for compression in (None, "bf16"):
+        kfac = BlockKFAC(specs, cfg, world_size=n_dev)
+        local_x = x[: x.shape[0] // n_dev]
+        local_pert = ktpu.make_zero_perturbations(
+            model, {"params": params, **model_state}, local_x, train=True
+        )
+        st = init_bucketed_state(kfac, params, model_state=model_state)
+        step_fn = make_sharded_bucketed_train_step(
+            model, kfac, mesh, st, local_pert,
+            train_kwargs={"train": True},
+            delta_gather_compression=compression,
+        )
+        st = shard_bucketed_state(mesh, kfac, st)
+        data = meshlib.shard_batch(mesh, (x, y))
+        scalars = KFACScalars.create(lr=0.05, damping=0.03)
+        losses = []
+        for _ in range(4):
+            st, m = step_fn(st, data, scalars)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0]
+        results[compression] = (losses, st)
+    np.testing.assert_allclose(
+        results["bf16"][0], results[None][0], rtol=2e-2, atol=1e-3
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-2, atol=5e-3
+        ),
+        results["bf16"][1].params,
+        results[None][1].params,
+    )
+
+
 def test_build_bucketed_trainer_resume_state_passthrough():
     """build_bucketed_trainer(state=...) must wire the CALLER's state (the
     checkpoint-resume path in the harnesses) — not re-init: training must
