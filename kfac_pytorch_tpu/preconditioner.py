@@ -534,17 +534,17 @@ def production_pcg_config(**overrides) -> "KFACConfig":
         # positions (stride 3), G Grams EXACT (the KFC estimator over a
         # position subsample — factor_spatial_stride /
         # factor_g_spatial_stride). For 3x3 convs the A Gram carries ~81x
-        # the G Gram's flops, so A-only striding keeps ~99% of the flop
-        # cut; two-seed 2k one-variable A/Bs vs the full-position control
-        # measured val_acc +0.001/+0.009 (ss=3/G=1) and +0.026/+0.030
-        # (ss=2/G=1), versus -0.008/-0.037 for striding BOTH factors at
-        # ss=2 — the quality cost of subsampling was G-driven, and exact-G
-        # arms sit at-or-above control (BENCH_NOTES round 4 queue H).
-        # Worth ~18% of the TCov=1 step (1.98x full-position -> 1.67x).
-        # Set factor_spatial_stride=1 to restore full-position statistics
-        # — preferable when the factor stage is already amortized
-        # (TCov >= 10); factor_spatial_stride=2 with G=1 is the
-        # quality-preferred subsampled option (1.78x, +0.028 mean).
+        # the G Gram's flops, so A-only striding keeps most of the flop
+        # cut with exact G statistics. Validated under the round-5
+        # PRE-REGISTERED rule (BENCH_NOTES round 5): seven pooled
+        # one-variable 2k seeds ALL positive vs the full-position control
+        # (mean +0.024, min +0.001; sign-test p=0.008) plus the 10k
+        # scheduler-engaged arm. Worth ~12% of the TCov=1 step
+        # (1.98x full-position -> 1.76x). Set factor_spatial_stride=1 to
+        # restore full-position statistics — preferable when the factor
+        # stage is already amortized (TCov >= 10). NOTE: ss=2/G=1 FAILED
+        # the same rule (a -0.032 seed) — it remains an option but is
+        # not validated.
         factor_spatial_stride=3,
         factor_g_spatial_stride=1,
     )
