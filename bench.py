@@ -422,10 +422,13 @@ def main():
                            + (f"/G={_gss_used}" if _gss_used != _ss_used
                               else "")
                            + " (position-subsampled conv factor stats, "
-                           + ("convergence-validated — BENCH_NOTES r4)"
-                              if (_ss_used, _gss_used) in
-                              ((2, 2), (2, 1), (3, 1)) else
-                              "NOT separately convergence-validated)")
+                           # validated set per the round-5 PRE-REGISTERED
+                           # rule: only (3, 1) passed (7/7 positive 2k
+                           # seeds + 10k arm); (2, 1) failed the min
+                           # criterion and (2, 2) failed round-4's arms
+                           + ("validated — BENCH_NOTES r5 rule)"
+                              if (_ss_used, _gss_used) == (3, 1) else
+                              "NOT convergence-validated)")
                            if _ss_used > 1 else "")
                         + ")",
                         "vs_baseline": round(ratio / 3.69, 4),
