@@ -248,6 +248,24 @@ def test_param_scheduler_parity():
     assert np.isclose(hp2.damping, 0.0075)
 
 
+def test_production_config_pins_validated_stride_combo():
+    """The shipped production estimator is the (ss=3, G=1) combo that
+    passed the round-5 PRE-REGISTERED adjudication (7/7 positive 2k
+    seeds + 10k arm, BENCH_NOTES round 5). A future default flip must
+    consciously update this pin alongside new validation evidence —
+    (3, follow-A) and (2, *) both FAILED convergence arms."""
+    from kfac_pytorch_tpu.preconditioner import production_pcg_config
+
+    cfg = production_pcg_config()
+    assert cfg.factor_spatial_stride == 3
+    assert cfg.factor_g_spatial_stride == 1
+    # overrides still work (the bench env hooks / harness flags)
+    cfg2 = production_pcg_config(factor_spatial_stride=1,
+                                 factor_g_spatial_stride=None)
+    assert cfg2.factor_spatial_stride == 1
+    assert cfg2.factor_g_spatial_stride is None
+
+
 def test_param_scheduler_freq_clamps_to_one():
     """update_freq_alpha < 1 must never truncate a live freq to 0 (= K-FAC
     silently disabled); an explicit base of 0 stays 0 (user-disabled)."""
