@@ -377,8 +377,10 @@ def test_direct_ema_sharded_dp_owner_only(mode):
     # the round-4 factor-state traffic candidates: direct fused-concat EMA
     # + bf16 factor-state storage (validated here under SPMD)
     dict(factor_ema_mode="fused_concat", factor_state_dtype="bfloat16"),
-    # the quality-preferred subsampled option (ss=2, exact G): validates
-    # the split-stride dispatch at the non-default stride under SPMD
+    # a non-default stride combo (ss=2, exact G — NOT convergence-
+    # validated per the round-5 pre-registered rule): validates the
+    # split-stride dispatch mechanics at the non-default stride under
+    # SPMD (numerical equivalence only, not estimator quality)
     dict(factor_spatial_stride=2, factor_g_spatial_stride=1),
 ])
 def test_production_config_sharded_matches_single_program(extras):
